@@ -55,6 +55,10 @@ class ModelConfig:
     reg_max: int = 16
     width_mult: float = 0.25   # YOLOv8n
     depth_mult: float = 0.334  # YOLOv8n
+    # classifier geometry (224 = reference transform, resent_model.py:57-66);
+    # stage sizes (3,4,6,3) = ResNet-50. Tests shrink both for fast compiles.
+    classifier_input: int = 224
+    resnet_stages: Tuple[int, ...] = (3, 4, 6, 3)
 
     def validate(self) -> None:
         if not 0.0 <= self.confidence_threshold <= 1.0:
@@ -211,6 +215,8 @@ class SystemConfig:
         edge_raw = dict(raw.pop("edge", {}))
         mesh_raw = dict(raw.pop("mesh", {}))
 
+        if "resnet_stages" in model_raw:
+            model_raw["resnet_stages"] = tuple(model_raw["resnet_stages"])
         model = _build(ModelConfig, model_raw)
         pre_raw = dict(proc_raw.pop("preprocessing", {}))
         if "resize" in pre_raw and pre_raw["resize"] is not None:

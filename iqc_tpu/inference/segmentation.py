@@ -1,0 +1,208 @@
+"""Image segmentator: reference-parity API over the on-device kernels.
+
+Replaces ``inference/segmentation.py`` (761 lines of per-box host OpenCV /
+skimage / Python-BFS work — the pipeline's hottest loop, SURVEY.md §3.2)
+with one fixed-capacity jitted program (``iqc_tpu/ops/segmentation.py``).
+The class here is a thin host shell: pad detections to capacity, call the
+kernel, reassemble the reference's result schema
+(``segmentation.py:39-146``), including lazy full-resolution mask
+reconstruction and the area analysis / size-bucket statistics
+(``segmentation.py:623-655``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iqc_tpu.config import DEFECT_CLASSES, SystemConfig
+from iqc_tpu.ops import image as imops
+from iqc_tpu.ops.segmentation import (
+    METHOD_ADAPTIVE,
+    METHOD_REGION_GROWING,
+    METHOD_THRESHOLD,
+    METHOD_WATERSHED,
+    SegmentationOutputs,
+    segment_detections,
+)
+
+logger = logging.getLogger(__name__)
+
+METHOD_NAMES = ("threshold", "adaptive", "watershed", "region_growing")
+
+
+class ImageSegmentator:
+    """API parity with the reference ``ImageSegmentator``
+    (``inference/segmentation.py:20-761``)."""
+
+    def __init__(self, config: Optional[SystemConfig] = None, capacity: int = 32,
+                 roi_size: int = 128):
+        if isinstance(config, dict):
+            config = SystemConfig.from_dict(config)
+        self.config = config or SystemConfig()
+        self.capacity = capacity
+        self.roi_size = roi_size
+        self.class_names = list(self.config.quality_control.defect_classes)
+
+        self._kernel = jax.jit(
+            lambda img, boxes, cids, valid: segment_detections(
+                img, boxes, cids, valid, roi_size=self.roi_size
+            )
+        )
+
+    # -- core ------------------------------------------------------------------
+
+    def segment_defects(self, image: np.ndarray, detections: List[Dict]) -> Dict:
+        """Segment defect regions; returns the reference's result schema."""
+        results = {
+            "segmented_regions": [],
+            "masks": [],
+            "contours": [],
+            "area_analysis": {},
+            "total_defect_area": 0,
+            "defect_density": 0.0,
+        }
+        if not detections:
+            return results
+
+        img = imops.to_float(jnp.asarray(image))
+        h, w = image.shape[:2]
+        n = min(len(detections), self.capacity)
+        boxes = np.zeros((self.capacity, 4), np.float32)
+        cids = np.zeros((self.capacity,), np.int32)
+        valid = np.zeros((self.capacity,), bool)
+        for i, det in enumerate(detections[: self.capacity]):
+            b = det["bbox"]
+            boxes[i] = (b["x1"], b["y1"], b["x2"], b["y2"])
+            cls = det.get("class", "")
+            # unknown classes fall back to the threshold method
+            # (segmentation.py:194 method_mapping.get(..., 'threshold'));
+            # class id 3 (discoloration) carries METHOD_THRESHOLD
+            cids[i] = (
+                self.class_names.index(cls) if cls in self.class_names else 3
+            )
+            valid[i] = True
+
+        out: SegmentationOutputs = self._kernel(
+            img, jnp.asarray(boxes), jnp.asarray(cids), jnp.asarray(valid)
+        )
+        out_np = jax.tree_util.tree_map(np.asarray, out)
+
+        total_image_area = float(h * w)
+        total_defect_area = 0.0
+        for i in range(n):
+            det = detections[i]
+            area = float(out_np.area[i])
+            total_defect_area += area
+            global_mask = self.reconstruct_mask(
+                out_np.masks[i], boxes[i], (h, w)
+            )
+            region = {
+                "detection_id": i,
+                "defect_class": det.get("class", "unknown"),
+                "confidence": det.get("confidence", 0.0),
+                "bbox": det["bbox"],
+                "mask": global_mask,
+                "local_mask": out_np.masks[i],
+                "contours": self.mask_contours(global_mask),
+                "area_pixels": area,
+                "area_percentage": area / total_image_area * 100.0,
+                "perimeter": float(out_np.perimeter[i]),
+                "compactness": float(out_np.compactness[i]),
+                "segmentation_method": METHOD_NAMES[int(out_np.method[i])],
+                "confidence_score": float(out_np.confidence[i]),
+            }
+            results["segmented_regions"].append(region)
+            results["masks"].append(global_mask)
+            results["contours"].extend(region["contours"])
+
+        results["total_defect_area"] = total_defect_area
+        results["defect_density"] = total_defect_area / total_image_area * 100.0
+        results["area_analysis"] = self._analyze_defect_areas(
+            results["segmented_regions"]
+        )
+        return results
+
+    # -- host utilities --------------------------------------------------------
+
+    @staticmethod
+    def reconstruct_mask(roi_mask: np.ndarray, box: Sequence[float], image_shape) -> np.ndarray:
+        """Paste an ROI-grid mask back into a full-resolution uint8 mask
+        (the reference's global-coordinate mask, segmentation.py:90-94)."""
+        h, w = image_shape
+        x1, y1, x2, y2 = (int(round(v)) for v in box)
+        x1, y1 = max(0, x1), max(0, y1)
+        x2, y2 = min(w, max(x2, x1 + 1)), min(h, max(y2, y1 + 1))
+        bw, bh = x2 - x1, y2 - y1
+        global_mask = np.zeros((h, w), np.uint8)
+        if bw <= 0 or bh <= 0:
+            return global_mask
+        # nearest-neighbour upsample of the bool ROI grid to the box size
+        r = roi_mask.shape[0]
+        yi = (np.arange(bh) * r // max(bh, 1)).clip(0, r - 1)
+        xi = (np.arange(bw) * r // max(bw, 1)).clip(0, r - 1)
+        global_mask[y1:y2, x1:x2] = roi_mask[np.ix_(yi, xi)].astype(np.uint8) * 255
+        return global_mask
+
+    @staticmethod
+    def mask_contours(mask: np.ndarray, min_area: int = 10) -> List[np.ndarray]:
+        """Boundary-pixel polygons per connected component (host-side,
+        cv2-free equivalent of findContours, segmentation.py:486-506).
+        Returns [K, 1, 2] int arrays of (x, y) boundary points."""
+        from scipy import ndimage as ndi
+
+        labels, count = ndi.label(mask > 0)
+        contours = []
+        for lbl in range(1, count + 1):
+            comp = labels == lbl
+            if comp.sum() < min_area:
+                continue
+            inner = ndi.binary_erosion(comp)
+            by, bx = np.nonzero(comp & ~inner)
+            if len(bx) == 0:
+                continue
+            contours.append(np.stack([bx, by], axis=-1)[:, None, :].astype(np.int32))
+        return contours
+
+    @staticmethod
+    def _analyze_defect_areas(regions: List[Dict]) -> Dict:
+        """Area statistics + size buckets (segmentation.py:623-655)."""
+        if not regions:
+            return {}
+        areas = [r["area_pixels"] for r in regions]
+        pcts = [r["area_percentage"] for r in regions]
+        return {
+            "total_regions": len(regions),
+            "total_area_pixels": float(sum(areas)),
+            "total_area_percentage": float(sum(pcts)),
+            "average_area_pixels": float(np.mean(areas)),
+            "median_area_pixels": float(np.median(areas)),
+            "max_area_pixels": float(max(areas)),
+            "min_area_pixels": float(min(areas)),
+            "area_std": float(np.std(areas)),
+            "size_distribution": {
+                "small_defects": sum(1 for a in areas if a < 100),
+                "medium_defects": sum(1 for a in areas if 100 <= a < 1000),
+                "large_defects": sum(1 for a in areas if a >= 1000),
+            },
+        }
+
+    def visualize_segmentation(
+        self, image: np.ndarray, segmentation_results: Dict, save_path: Optional[str] = None
+    ) -> np.ndarray:
+        from iqc_tpu.inference.visualize import draw_segmentation
+
+        vis = draw_segmentation(image, segmentation_results.get("masks", []))
+        if save_path:
+            self.save_image(vis, save_path)
+        return vis
+
+    @staticmethod
+    def save_image(image: np.ndarray, path: str) -> None:
+        from PIL import Image
+
+        Image.fromarray(image.astype(np.uint8)).save(path)

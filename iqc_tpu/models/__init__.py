@@ -6,3 +6,4 @@ TPU-native replacements for the reference's torch/Ultralytics model layer
 
 from iqc_tpu.models.resnet import ResNet50, ResNetClassifier  # noqa: F401
 from iqc_tpu.models.yolo import YOLOv8, YOLODetector  # noqa: F401
+from iqc_tpu.models.ensemble import EnsemblePredictor, EnsembleOptimizer  # noqa: F401

@@ -1,0 +1,451 @@
+"""Fused ensemble graph: detection -> per-crop classification -> fusion.
+
+The reference runs YOLO and ResNet as two torch models in a 2-thread pool
+(``models/ensemble.py:88-93``) and then MOCKS the per-detection crop
+classification (``ensemble.py:181-195`` — "would extract and classify
+region"). Here the whole thing is ONE jitted XLA program:
+
+    preprocess -> YOLOv8 -> fused decode+NMS -> crop_and_resize(top-K)
+    -> batched per-crop ResNet-50 -> weighted confidence fusion ->
+    severity max-fusion -> per-image severity counts,
+
+with the global-image ResNet classification (the reference's
+``resnet_results``) computed from the same graph. Static shapes throughout:
+K = max_detections NMS capacity, Kc = max_classified crops actually
+classified (score-sorted survivors; crop slots beyond Kc fall back to the
+reference's mock rule conf*1.1 so behavior degrades gracefully, not
+silently).
+
+Observable decision rules carried over:
+- weighted confidence fusion 0.6/0.4 (``ensemble.py:38-41,197-214``)
+- severity max-fusion (``ensemble.py:216-236``)
+- detection summary + A-F quality grading (``ensemble.py:238-337``)
+- ensemble confidence (``ensemble.py:339-357``)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iqc_tpu.config import DEFECT_CLASSES, SystemConfig
+from iqc_tpu.models.resnet import ResNet50, classifier_severity, preprocess_for_classifier
+from iqc_tpu.models.yolo import STRIDES, YOLOv8, detection_severity, feature_shapes
+from iqc_tpu.ops import image as imops
+from iqc_tpu.ops.boxes import box_area
+from iqc_tpu.ops.nms import Detections, decode_and_nms, make_anchors
+
+SEVERITY_NAMES = ("minor", "major", "critical")
+
+
+class EnsembleOutputs(NamedTuple):
+    """Device-side outputs of the fused graph (all fixed capacity K)."""
+
+    boxes: jnp.ndarray            # [B,K,4] xyxy at model input resolution
+    yolo_scores: jnp.ndarray      # [B,K]
+    classes: jnp.ndarray          # [B,K] detector class
+    valid: jnp.ndarray            # [B,K]
+    areas: jnp.ndarray            # [B,K]
+    yolo_severity: jnp.ndarray    # [B,K] int {0,1,2}
+    crop_class: jnp.ndarray       # [B,K] ResNet class per crop
+    crop_conf: jnp.ndarray        # [B,K]
+    crop_severity: jnp.ndarray    # [B,K]
+    crop_classified: jnp.ndarray  # [B,K] bool: real crop classification ran
+    ensemble_conf: jnp.ndarray    # [B,K] fused confidence
+    final_severity: jnp.ndarray   # [B,K] max-fused severity
+    severity_counts: jnp.ndarray  # [B,3] (#minor, #major, #critical)
+    global_probs: jnp.ndarray     # [B,C] whole-image ResNet probabilities
+    image_confidence: jnp.ndarray # [B] per-image ensemble confidence
+
+
+def build_ensemble_forward(
+    yolo: YOLOv8,
+    resnet: ResNet50,
+    input_size: Tuple[int, int],
+    max_detections: int,
+    max_classified: int,
+    classifier_input: int = 224,
+):
+    """Return the pure fused forward fn (jit it once, reuse forever).
+
+    Signature: f(yolo_vars, resnet_vars, images[B,H,W,3] uint8/float,
+    conf_t, iou_t, w_yolo, w_resnet) -> EnsembleOutputs
+    """
+    anchors, strides = make_anchors(feature_shapes(input_size), STRIDES)
+    kc = max_classified
+
+    def forward(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet):
+        x = imops.to_float(images)
+        if x.shape[1:3] != tuple(input_size):
+            x = imops.resize_bilinear(x, input_size)
+        b = x.shape[0]
+
+        # --- detection ---
+        dist, cls = yolo.apply(yolo_vars, x, train=False)
+        det: Detections = decode_and_nms(
+            dist, cls, anchors, strides,
+            reg_max=yolo.reg_max, max_detections=max_detections,
+            iou_threshold=iou_t, score_threshold=conf_t,
+        )
+        areas = box_area(det.boxes)
+        yolo_sev = detection_severity(det.scores, areas)
+
+        # --- whole-image classification (reference's parallel ResNet branch) ---
+        ci = classifier_input
+        xg = preprocess_for_classifier(x, ci)
+        global_logits = resnet.apply(resnet_vars, xg, train=False)
+        global_probs = jax.nn.softmax(global_logits.astype(jnp.float32), axis=-1)
+
+        # --- real per-crop classification on the top-Kc survivors ---
+        # survivors are compacted+score-sorted, so slots [:kc] are the best
+        crop_boxes = det.boxes[:, :kc]
+        crops = jax.vmap(lambda img, bx: imops.crop_and_resize(img, bx, (ci, ci)))(
+            x, crop_boxes
+        )  # [B,kc,ci,ci,3]
+        crops_flat = imops.normalize_imagenet(crops.reshape(b * kc, ci, ci, 3))
+        crop_logits = resnet.apply(resnet_vars, crops_flat, train=False)
+        crop_probs = jax.nn.softmax(crop_logits.astype(jnp.float32), axis=-1)
+        crop_probs = crop_probs.reshape(b, kc, -1)
+        cc_conf = jnp.max(crop_probs, axis=-1)
+        cc_class = jnp.argmax(crop_probs, axis=-1).astype(jnp.int32)
+        cc_sev = classifier_severity(cc_class, cc_conf)
+
+        # pad crop outputs back to K; beyond-Kc slots use the reference's
+        # mock refinement rule (conf*1.1 capped, same class/severity —
+        # ensemble.py:186-195) so nothing silently drops
+        k = max_detections
+        pad = k - kc
+        mock_conf = jnp.minimum(det.scores[:, kc:] * 1.1, 1.0)
+        crop_conf = jnp.concatenate([cc_conf, mock_conf], axis=1)
+        crop_class = jnp.concatenate([cc_class, det.classes[:, kc:]], axis=1)
+        crop_sev = jnp.concatenate([cc_sev, yolo_sev[:, kc:]], axis=1)
+        classified = jnp.concatenate(
+            [jnp.ones((b, kc), bool), jnp.zeros((b, pad), bool)], axis=1
+        )
+
+        # --- fusion (ensemble.py:197-236) ---
+        ens_conf = jnp.where(
+            det.valid, w_yolo * det.scores + w_resnet * crop_conf, 0.0
+        )
+        final_sev = jnp.maximum(yolo_sev, crop_sev)
+
+        # per-image severity counts -> grading happens host-side from ints
+        v = det.valid
+        counts = jnp.stack(
+            [jnp.sum(v & (final_sev == s), axis=1) for s in (0, 1, 2)], axis=-1
+        ).astype(jnp.int32)
+
+        # ensemble confidence (ensemble.py:339-357): mean det yolo-conf
+        # fused with global resnet confidence
+        n_valid = jnp.maximum(jnp.sum(v, axis=1), 1)
+        mean_yolo = jnp.where(
+            jnp.any(v, axis=1),
+            jnp.sum(jnp.where(v, det.scores, 0.0), axis=1) / n_valid,
+            0.0,
+        )
+        img_conf = w_yolo * mean_yolo + w_resnet * jnp.max(global_probs, axis=-1)
+
+        return EnsembleOutputs(
+            boxes=det.boxes, yolo_scores=det.scores, classes=det.classes,
+            valid=v, areas=areas, yolo_severity=yolo_sev,
+            crop_class=crop_class, crop_conf=crop_conf, crop_severity=crop_sev,
+            crop_classified=classified, ensemble_conf=ens_conf,
+            final_severity=final_sev, severity_counts=counts,
+            global_probs=global_probs, image_confidence=img_conf,
+        )
+
+    return forward
+
+
+# ---------------------------------------------------------------------------
+# Host-side result assembly (reference JSON schema)
+# ---------------------------------------------------------------------------
+
+
+def assess_overall_quality(n_minor: int, n_major: int, n_critical: int) -> Dict:
+    """A-F grading truth table, parity with ensemble.py:282-337."""
+    total = n_minor + n_major + n_critical
+    if total == 0:
+        return {
+            "quality_grade": "A", "pass_fail": "PASS", "defect_density": 0.0,
+            "risk_level": "low", "recommended_action": "accept",
+        }
+    if n_critical > 0:
+        grade, pf, risk, action = "F", "FAIL", "high", "reject"
+    elif n_major > 2:
+        grade, pf, risk, action = "D", "FAIL", "high", "reject"
+    elif n_major > 0:
+        grade, pf, risk, action = "C", "CONDITIONAL", "medium", "review"
+    elif n_minor > 3:
+        grade, pf, risk, action = "B", "CONDITIONAL", "low", "review"
+    else:
+        grade, pf, risk, action = "A", "PASS", "low", "accept"
+    return {
+        "quality_grade": grade, "pass_fail": pf, "defect_density": total,
+        "risk_level": risk, "recommended_action": action,
+        "defect_breakdown": {
+            "critical": n_critical, "major": n_major, "minor": n_minor
+        },
+    }
+
+
+class EnsemblePredictor:
+    """Stateful wrapper: reference ``EnsemblePredictor`` API
+    (``models/ensemble.py:20-448``) on the fused graph."""
+
+    def __init__(
+        self,
+        yolo_weights: Optional[str] = None,
+        resnet_weights: Optional[str] = None,
+        config: Optional[SystemConfig] = None,
+    ):
+        cfg = config or SystemConfig()
+        if isinstance(cfg, dict):  # accept raw dicts like the reference does
+            cfg = SystemConfig.from_dict(cfg)
+        self.config = cfg
+        m = cfg.model
+        self.class_names = list(cfg.quality_control.defect_classes)
+        self.ensemble_weights = dict(m.ensemble_weights)
+        self.confidence_threshold = m.confidence_threshold
+        self.nms_threshold = m.nms_threshold
+        self.input_size = tuple(cfg.processing.input_size)
+        self.max_detections = m.max_detections
+        self.max_classified = m.max_classified
+
+        dtype = jnp.bfloat16 if m.compute_dtype == "bfloat16" else jnp.float32
+        self.yolo = YOLOv8(
+            num_classes=m.num_classes, width_mult=m.width_mult,
+            depth_mult=m.depth_mult, reg_max=m.reg_max, dtype=dtype,
+        )
+        self.resnet = ResNet50(
+            num_classes=m.num_classes, dtype=dtype, stage_sizes=m.resnet_stages
+        )
+        ci = m.classifier_input
+        self.yolo_vars = self._init_or_load(
+            self.yolo, (1, *self.input_size, 3), yolo_weights or m.yolo_weights
+        )
+        self.resnet_vars = self._init_or_load(
+            self.resnet, (1, ci, ci, 3), resnet_weights or m.resnet_weights
+        )
+
+        fwd = build_ensemble_forward(
+            self.yolo, self.resnet, self.input_size,
+            self.max_detections, self.max_classified, classifier_input=ci,
+        )
+        self._forward = jax.jit(fwd)
+
+    @staticmethod
+    def _init_or_load(module, dummy_shape, path):
+        from iqc_tpu.train.checkpoint import try_load_variables
+
+        init_vars = module.init(
+            jax.random.PRNGKey(0), jnp.zeros(dummy_shape, jnp.float32), train=False
+        )
+        if path:
+            loaded = try_load_variables(path, init_vars)
+            if loaded is not None:
+                return loaded
+        return init_vars
+
+    # -- device call -----------------------------------------------------------
+
+    def run(self, images: np.ndarray) -> EnsembleOutputs:
+        """Raw fused-graph call on a [B,H,W,3] batch (device arrays out)."""
+        return self._forward(
+            self.yolo_vars, self.resnet_vars, jnp.asarray(images),
+            jnp.float32(self.confidence_threshold),
+            jnp.float32(self.nms_threshold),
+            jnp.float32(self.ensemble_weights["yolo"]),
+            jnp.float32(self.ensemble_weights["resnet"]),
+        )
+
+    # -- reference-parity API ----------------------------------------------------
+
+    def predict(self, image: np.ndarray) -> Dict:
+        t0 = time.perf_counter()
+        out = self.run(np.asarray(image)[None])
+        result = self.build_result(out, 0, image.shape)
+        result["total_inference_time_ms"] = (time.perf_counter() - t0) * 1000
+        return result
+
+    def batch_predict(self, images: List[np.ndarray]) -> List[Dict]:
+        t0 = time.perf_counter()
+        batch = np.stack(images)
+        out = self.run(batch)
+        dt = (time.perf_counter() - t0) * 1000
+        results = []
+        for i in range(len(images)):
+            r = self.build_result(out, i, images[i].shape)
+            r["batch_index"] = i
+            r["total_inference_time_ms"] = dt / len(images)
+            results.append(r)
+        return results
+
+    def build_result(self, out: EnsembleOutputs, i: int, image_shape) -> Dict:
+        """Fixed-capacity arrays -> the reference's combined-result schema
+        (ensemble.py:107-157)."""
+        o = jax.tree_util.tree_map(lambda a: np.asarray(a[i]), out)
+        sy = image_shape[0] / self.input_size[0]
+        sx = image_shape[1] / self.input_size[1]
+        detections = []
+        for j in range(len(o.valid)):
+            if not o.valid[j]:
+                break
+            x1, y1, x2, y2 = o.boxes[j]
+            x1, x2 = int(x1 * sx), int(x2 * sx)
+            y1, y2 = int(y1 * sy), int(y2 * sy)
+            cid = int(o.classes[j])
+            ccid = int(o.crop_class[j])
+            detections.append(
+                {
+                    "id": j,
+                    "class": self.class_names[cid] if 0 <= cid < len(self.class_names) else f"class_{cid}",
+                    "confidence": float(o.yolo_scores[j]),
+                    "bbox": {
+                        "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+                        "width": x2 - x1, "height": y2 - y1,
+                        "center_x": (x1 + x2) / 2, "center_y": (y1 + y2) / 2,
+                    },
+                    "area": (x2 - x1) * (y2 - y1),
+                    "severity": SEVERITY_NAMES[int(o.yolo_severity[j])],
+                    "ensemble_confidence": float(o.ensemble_conf[j]),
+                    "yolo_confidence": float(o.yolo_scores[j]),
+                    "resnet_confidence": float(o.crop_conf[j]),
+                    "classification_details": {
+                        "predicted_class": self.class_names[ccid]
+                        if 0 <= ccid < len(self.class_names)
+                        else f"class_{ccid}",
+                        "confidence": float(o.crop_conf[j]),
+                        "region_severity": SEVERITY_NAMES[int(o.crop_severity[j])],
+                        "classification_source": "crop_resnet"
+                        if bool(o.crop_classified[j])
+                        else "ensemble_refined",
+                    },
+                    "final_severity": SEVERITY_NAMES[int(o.final_severity[j])],
+                }
+            )
+
+        n_minor, n_major, n_crit = (int(c) for c in o.severity_counts)
+        global_conf = float(np.max(o.global_probs))
+        global_cls = int(np.argmax(o.global_probs))
+        return {
+            "detections": detections,
+            "global_classification": {
+                "predicted_class": self.class_names[global_cls],
+                "confidence": global_conf,
+                "class_probabilities": {
+                    self.class_names[k]: float(p) for k, p in enumerate(o.global_probs)
+                },
+            },
+            "detection_summary": self._summary(detections),
+            "quality_assessment": assess_overall_quality(n_minor, n_major, n_crit),
+            "ensemble_confidence": float(o.image_confidence),
+        }
+
+    @staticmethod
+    def _summary(detections: List[Dict]) -> Dict:
+        """Detection summary, parity with ensemble.py:238-279."""
+        if not detections:
+            return {
+                "total_defects": 0, "defect_counts": {},
+                "severity_distribution": {}, "average_confidence": 0.0,
+                "max_severity": "none",
+            }
+        counts: Dict[str, int] = {}
+        sev_counts = {"minor": 0, "major": 0, "critical": 0}
+        confs = []
+        for d in detections:
+            counts[d["class"]] = counts.get(d["class"], 0) + 1
+            sev_counts[d["final_severity"]] += 1
+            confs.append(d["ensemble_confidence"])
+        max_sev = "none"
+        for s in ("critical", "major", "minor"):
+            if sev_counts[s] > 0:
+                max_sev = s
+                break
+        return {
+            "total_defects": len(detections),
+            "defect_counts": counts,
+            "severity_distribution": sev_counts,
+            "average_confidence": float(np.mean(confs)),
+            "max_severity": max_sev,
+        }
+
+    def update_ensemble_weights(self, yolo_weight: float, resnet_weight: float):
+        """Renormalized weight update (ensemble.py:371-378); weights are
+        traced args, no recompile."""
+        total = yolo_weight + resnet_weight
+        self.ensemble_weights = {
+            "yolo": yolo_weight / total, "resnet": resnet_weight / total
+        }
+
+    def get_model_info(self) -> Dict:
+        return {
+            "ensemble_weights": self.ensemble_weights,
+            "confidence_threshold": self.confidence_threshold,
+            "models_loaded": {"yolo": True, "resnet": True},
+            "yolo_info": {
+                "input_size": self.input_size,
+                "max_detections": self.max_detections,
+                "class_names": self.class_names,
+            },
+            "resnet_info": {
+                "num_classes": len(self.class_names),
+                "input_size": (224, 224),
+                "max_classified_crops": self.max_classified,
+            },
+            "fused_graph": True,
+        }
+
+    def visualize_ensemble_results(self, image: np.ndarray, results: Dict) -> np.ndarray:
+        from iqc_tpu.inference.visualize import draw_detections, draw_quality_overlay
+
+        vis = draw_detections(image, results.get("detections", []))
+        qa = results.get("quality_assessment", {})
+        return draw_quality_overlay(vis, qa) if qa else vis
+
+
+class EnsembleOptimizer:
+    """Grid-search ensemble weight optimizer over validation data
+    (reference ``EnsembleOptimizer``, ensemble.py:451-531). Because weights
+    are traced args, each trial reuses the compiled graph."""
+
+    def __init__(self, ensemble_predictor: EnsemblePredictor):
+        self.ensemble = ensemble_predictor
+        self.performance_history: List[Dict] = []
+
+    def optimize_weights(
+        self, validation_data: List[Tuple[np.ndarray, Dict]], steps: int = 9
+    ) -> Dict:
+        best = {"yolo": 0.6, "resnet": 0.4}
+        best_score = -1.0
+        original = dict(self.ensemble.ensemble_weights)
+        for k in range(1, steps + 1):
+            wy = k / (steps + 1)
+            self.ensemble.update_ensemble_weights(wy, 1.0 - wy)
+            score = self._evaluate(validation_data)
+            self.performance_history.append(
+                {"weights": dict(self.ensemble.ensemble_weights), "score": score}
+            )
+            if score > best_score:
+                best_score = score
+                best = dict(self.ensemble.ensemble_weights)
+        self.ensemble.ensemble_weights = best if best_score >= 0 else original
+        return {"best_weights": best, "best_score": best_score,
+                "history": self.performance_history}
+
+    def _evaluate(self, validation_data) -> float:
+        """Score = mean agreement between predicted pass/fail and labels."""
+        if not validation_data:
+            return 0.0
+        correct = 0
+        for image, label in validation_data:
+            result = self.ensemble.predict(image)
+            pred_pass = result["quality_assessment"]["pass_fail"] == "PASS"
+            want_pass = bool(label.get("pass", label.get("PASS", True)))
+            correct += int(pred_pass == want_pass)
+        return correct / len(validation_data)

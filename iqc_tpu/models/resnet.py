@@ -122,12 +122,12 @@ def classifier_severity(class_ids: jnp.ndarray, confidences: jnp.ndarray) -> jnp
     return sev
 
 
-def preprocess_for_classifier(images: jnp.ndarray) -> jnp.ndarray:
-    """[B,H,W,3] uint8/float -> 224x224 ImageNet-normalized float
+def preprocess_for_classifier(images: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """[B,H,W,3] uint8/float -> size x size ImageNet-normalized float
     (resent_model.py:57-66 transform as device ops)."""
     x = imops.to_float(images)
-    if x.shape[-3:-1] != (224, 224):
-        x = imops.resize_bilinear(x, (224, 224))
+    if x.shape[-3:-1] != (size, size):
+        x = imops.resize_bilinear(x, (size, size))
     return imops.normalize_imagenet(x)
 
 

@@ -1,0 +1,239 @@
+"""On-device defect segmentation kernels.
+
+TPU-native reformulation of the reference's per-detection host-CPU pixel
+work (``inference/segmentation.py`` — the hottest loop in the pipeline,
+SURVEY.md §3.2): every detection ROI is resampled onto a fixed ROI_SIZE
+grid with ``crop_and_resize``, all four segmentation methods run as
+vectorized masked tensor ops over the whole [N, R, R] ROI batch at once,
+and the per-class method choice (``segmentation.py:185-195``) becomes a
+``jnp.where`` select. Inherently-sequential algorithms are reformulated
+with bounded iteration:
+
+- region growing (stack-based BFS, ``segmentation.py:348-447``) ->
+  geodesic dilation: K iterations of (dilate & intensity-predicate)
+- watershed flood (``segmentation.py:300-346``) -> marker detection +
+  full-coverage mask (the reference's skimage watershed labels every ROI
+  pixel from the markers, so its observable mask is the cleaned full ROI;
+  we reproduce that observable)
+- small-component removal / hole filling (``segmentation.py:449-484``) ->
+  morphological opening / bounded flood fill
+
+Area/perimeter/compactness are computed on the ROI grid and rescaled to
+source-image units by the box scale (documented approximation: perimeter
+uses the mean of the x/y scales).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from iqc_tpu.ops import image as imops
+
+# method ids
+METHOD_THRESHOLD, METHOD_ADAPTIVE, METHOD_WATERSHED, METHOD_REGION_GROWING = 0, 1, 2, 3
+
+# class -> method (segmentation.py:185-195): crack/scratch -> adaptive,
+# dent -> watershed, discoloration -> threshold, contamination -> region grow
+CLASS_TO_METHOD = np.asarray([1, 1, 2, 0, 3], dtype=np.int32)
+
+# class -> Otsu threshold adjustment (segmentation.py:217-226)
+CLASS_THRESH_ADJUST = np.asarray([0.9, 0.9, 1.1, 0.8, 0.85], dtype=np.float32)
+
+# classes whose defects are dark (crack/scratch -> below-threshold mask,
+# segmentation.py:229-235); dent also probes dark minima
+CLASS_IS_DARK = np.asarray([1, 1, 1, 0, 0], dtype=bool)
+
+
+class SegmentationOutputs(NamedTuple):
+    masks: jnp.ndarray        # [N,R,R] bool, ROI-grid masks
+    area: jnp.ndarray         # [N] pixels in source-image units
+    perimeter: jnp.ndarray    # [N] source-image units
+    compactness: jnp.ndarray  # [N] 4*pi*A/P^2, clamped [0,1]
+    confidence: jnp.ndarray   # [N] per-method confidence score
+    method: jnp.ndarray       # [N] int method id
+
+
+def _clean_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Mask cleanup, parity with segmentation.py:449-462: remove small
+    components (opening), fill holes, smooth boundaries (close+open disk2)."""
+    m = imops.binary_open(mask, 1)
+    m = imops.fill_holes(m, iterations=16)
+    m = imops.binary_close(m, 2)
+    return imops.binary_open(m, 2)
+
+
+def _separation_confidence(roi: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Foreground/background separation in sigma units / 3, clamped [0,1]
+    (segmentation.py:527-556)."""
+    n_fg = jnp.sum(mask)
+    n_bg = mask.size - n_fg
+    fg_mean = jnp.sum(jnp.where(mask, roi, 0.0)) / jnp.maximum(n_fg, 1)
+    bg_mean = jnp.sum(jnp.where(mask, 0.0, roi)) / jnp.maximum(n_bg, 1)
+    sep = jnp.abs(fg_mean - bg_mean) / (jnp.std(roi) + 1e-6)
+    conf = jnp.minimum(sep / 3.0, 1.0)
+    return jnp.where((n_fg > 0) & (n_bg > 0), conf, 0.0)
+
+
+def _edge_overlap_confidence(roi: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Adaptive-method confidence: 0.5 + 0.5 * (edge pixels inside mask /
+    mask pixels), with degenerate-ratio penalty (segmentation.py:558-581)."""
+    ratio = jnp.mean(mask.astype(jnp.float32))
+    edges = imops.sobel_magnitude(roi) > 0.3
+    n_mask = jnp.maximum(jnp.sum(mask), 1)
+    overlap = jnp.sum(edges & mask) / n_mask
+    conf = jnp.minimum(0.5 + 0.5 * overlap, 1.0)
+    return jnp.where((ratio < 0.01) | (ratio > 0.8), 0.3, conf)
+
+
+def _threshold_segment(roi: jnp.ndarray, adjust: jnp.ndarray, dark: jnp.ndarray):
+    """Otsu threshold with per-class bias (segmentation.py:197-246)."""
+    blurred = imops.gaussian_blur(roi, sigma=1.0)
+    t = imops.otsu_threshold(blurred) * adjust
+    mask = jnp.where(dark, blurred < t, blurred > t)
+    mask = _clean_mask(mask)
+    return mask, _separation_confidence(roi, mask)
+
+
+def _adaptive_segment(roi: jnp.ndarray, dark: jnp.ndarray, block_size: int):
+    """Adaptive Gaussian threshold + morphology (segmentation.py:248-298)."""
+    lo, hi = jnp.min(roi), jnp.max(roi)
+    norm = (roi - lo) / jnp.maximum(hi - lo, 1e-6)
+    m_dark = imops.adaptive_threshold(norm, block_size, 2.0, invert=True)
+    m_bright = imops.adaptive_threshold(norm, block_size, 2.0, invert=False)
+    mask = jnp.where(dark, m_dark, m_bright)
+    mask = imops.binary_open(imops.binary_close(mask, 1), 1)
+    mask = imops.binary_open(mask, 2)  # small-component removal equivalent
+    return mask, _edge_overlap_confidence(norm, mask)
+
+
+def _watershed_segment(roi: jnp.ndarray, dark: jnp.ndarray):
+    """Marker-based flood, reference-observable form (segmentation.py:300-346):
+    skimage watershed labels every pixel from the markers, so the output
+    mask covers the ROI whenever markers exist; confidence prefers ~3
+    marker regions and ~20% coverage (segmentation.py:583-603)."""
+    blurred = imops.gaussian_blur(roi, sigma=1.0)
+    neg = -blurred
+    probe = jnp.where(dark, blurred, neg)
+    # regional extrema: pixels equal to the 3x3 window minimum
+    win_min = -lax.reduce_window(
+        -probe, -jnp.inf, lax.max, (3, 3), (1, 1), "SAME"
+    )
+    markers = probe <= win_min + 1e-7
+    n_markers = jnp.sum(markers)
+    mask = _clean_mask(jnp.broadcast_to(n_markers > 0, roi.shape))
+    ratio = jnp.mean(mask.astype(jnp.float32))
+    region_score = 1.0 / (1.0 + jnp.abs(n_markers.astype(jnp.float32) - 3.0))
+    ratio_score = jnp.maximum(0.0, 1.0 - jnp.abs(ratio - 0.2))
+    conf = jnp.minimum(0.5 * region_score + 0.5 * ratio_score, 1.0)
+    return mask, conf
+
+
+def _region_growing_segment(roi: jnp.ndarray, dark: jnp.ndarray, iterations: int = 24):
+    """Seeded region growing as bounded geodesic dilation
+    (segmentation.py:348-447): seeds are >2-sigma extreme pixels; growth
+    predicate |I - seed_mean| < 2*std(roi)."""
+    blurred = imops.gaussian_blur(roi, sigma=1.0)
+    mu, sd = jnp.mean(blurred), jnp.std(blurred)
+    seeds = jnp.where(dark, blurred < mu - 2 * sd, blurred > mu + 2 * sd)
+    n_seeds = jnp.sum(seeds)
+    seed_mean = jnp.sum(jnp.where(seeds, roi, 0.0)) / jnp.maximum(n_seeds, 1)
+    grow_ok = jnp.abs(roi - seed_mean) < 2.0 * jnp.std(roi)
+
+    def body(_, m):
+        return imops.binary_dilate(m, 1) & grow_ok
+
+    mask = lax.fori_loop(0, iterations, body, seeds)
+    mask = _clean_mask(mask)
+    ratio = jnp.mean(mask.astype(jnp.float32))
+    seed_score = jnp.minimum(n_seeds.astype(jnp.float32) / 5.0, 1.0)
+    coverage_score = jnp.minimum(ratio * 5.0, 1.0)
+    conf = 0.6 * seed_score + 0.4 * coverage_score
+    conf = jnp.where(n_seeds > 0, conf, 0.0)
+    mask = jnp.where(n_seeds > 0, mask, jnp.zeros_like(mask))
+    return mask, conf
+
+
+def mask_stats(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(area_px, perimeter_px) on the ROI grid. Perimeter = boundary-pixel
+    count (mask minus 4-neighbourhood erosion) — contour-free equivalent of
+    cv2.arcLength over external contours (segmentation.py:508-525)."""
+    area = jnp.sum(mask.astype(jnp.float32))
+    cross = jnp.asarray([[0, 1, 0], [1, 1, 1], [0, 1, 0]], jnp.float32)
+    inner = imops._morph_conv(mask.astype(jnp.float32), cross) > 4.5
+    boundary = mask & ~inner
+    return area, jnp.sum(boundary.astype(jnp.float32))
+
+
+def segment_rois(
+    rois: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    scale_x: jnp.ndarray,
+    scale_y: jnp.ndarray,
+    block_size: int = 13,
+) -> SegmentationOutputs:
+    """Segment a batch of grayscale ROIs [N,R,R] (float [0,1]).
+
+    class_ids [N] select the method and bias; scale_{x,y} [N] are
+    (box_size / roi_size) factors used to convert ROI-grid pixel counts to
+    source-image units. Invalid slots produce empty masks and zero stats.
+    """
+    c2m = jnp.asarray(CLASS_TO_METHOD)
+    adj = jnp.asarray(CLASS_THRESH_ADJUST)
+    is_dark = jnp.asarray(CLASS_IS_DARK)
+    n_cls = len(CLASS_TO_METHOD)
+    cid = jnp.clip(class_ids, 0, n_cls - 1)
+    method = c2m[cid]
+
+    def per_roi(roi, k, ok):
+        dark = is_dark[k]
+        m_t, c_t = _threshold_segment(roi, adj[k], dark)
+        m_a, c_a = _adaptive_segment(roi, dark, block_size)
+        m_w, c_w = _watershed_segment(roi, dark)
+        m_r, c_r = _region_growing_segment(roi, dark)
+        masks = jnp.stack([m_t, m_a, m_w, m_r])
+        confs = jnp.stack([c_t, c_a, c_w, c_r])
+        mk = c2m[k]
+        mask = masks[mk] & ok
+        conf = jnp.where(ok, confs[mk], 0.0)
+        return mask, conf
+
+    masks, confs = jax.vmap(per_roi)(rois, cid, valid)
+
+    area_px, perim_px = jax.vmap(mask_stats)(masks)
+    area = area_px * scale_x * scale_y
+    perimeter = perim_px * 0.5 * (scale_x + scale_y)
+    compactness = jnp.where(
+        (area_px > 0) & (perim_px > 0),
+        jnp.minimum(4.0 * jnp.pi * area / jnp.maximum(perimeter**2, 1e-6), 1.0),
+        0.0,
+    )
+    return SegmentationOutputs(
+        masks=masks, area=area, perimeter=perimeter,
+        compactness=compactness, confidence=confs, method=method,
+    )
+
+
+def segment_detections(
+    image: jnp.ndarray,
+    boxes: jnp.ndarray,
+    class_ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    roi_size: int = 128,
+) -> SegmentationOutputs:
+    """Full single-image entry: gray conversion, ROI gather, batch segment.
+
+    image [H,W,3] float [0,1] (or [H,W]); boxes [N,4] xyxy pixels.
+    """
+    gray = imops.rgb_to_gray(image) if image.ndim == 3 else image
+    rois = imops.crop_and_resize(gray[..., None], boxes, (roi_size, roi_size))[..., 0]
+    bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
+    bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
+    return segment_rois(
+        rois, class_ids, valid, bw / roi_size, bh / roi_size
+    )

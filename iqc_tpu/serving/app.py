@@ -1,0 +1,745 @@
+"""Serving application: system orchestrator + full REST API surface.
+
+Rebuild of the reference's L6 layer (``app.py`` + ``api/routes.py``) on the
+stdlib WSGI micro-framework: the same route map and JSON schemas, so the
+dashboard/clients work unchanged, with these upgrades:
+
+- ``current_app.qc_system`` is actually wired (the reference blueprint
+  reads an attribute ``app.py`` never sets — SURVEY.md §0).
+- The per-IP sliding-window rate limiter is lock-guarded (the reference's
+  closure dict is racy, ``routes.py:600-629`` — SURVEY.md §5.2).
+- The queue worker blocks on the queue instead of 10 ms busy-polling
+  (``app.py:106-121``), and aggregates waiting requests into device
+  batches (inverting the reference's thread fan-out, SURVEY.md §7 step 8).
+- Real-time push = Server-Sent Events at /events (Socket.IO equivalent;
+  flask-socketio is not available here).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import os
+import queue
+import tempfile
+import threading
+import time
+import zipfile
+from datetime import datetime
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from iqc_tpu import __version__
+from iqc_tpu.config import SystemConfig, load_config
+from iqc_tpu.serving.wsgi import App, Request, Response, html, jsonify
+
+logger = logging.getLogger(__name__)
+
+API_VERSION = "1.0.0"
+
+
+def _now() -> str:
+    return datetime.now().isoformat()
+
+
+def _decode_image(data: bytes) -> Optional[np.ndarray]:
+    from PIL import Image
+
+    try:
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    except Exception:
+        return None
+
+
+class RateLimiter:
+    """Per-IP sliding-window limiter (routes.py:599-636), thread-safe."""
+
+    def __init__(self, max_requests: int, window: float = 60.0):
+        self.max_requests = max_requests
+        self.window = window
+        self._lock = threading.Lock()
+        self._history: Dict[str, List[float]] = {}
+
+    def allow(self, client_ip: str) -> bool:
+        now = time.time()
+        with self._lock:
+            hist = [t for t in self._history.get(client_ip, []) if now - t < self.window]
+            if len(hist) >= self.max_requests:
+                self._history[client_ip] = hist
+                return False
+            hist.append(now)
+            self._history[client_ip] = hist
+            return True
+
+
+class EventBroker:
+    """Fan-out of detection_result/alert/status events to SSE subscribers
+    (the Socket.IO event surface, app.py:238-261 / dashboard.html:395-418)."""
+
+    def __init__(self, max_queue: int = 256):
+        self._lock = threading.Lock()
+        self._subscribers: List[queue.Queue] = []
+        self.max_queue = max_queue
+
+    def subscribe(self) -> queue.Queue:
+        q: queue.Queue = queue.Queue(self.max_queue)
+        with self._lock:
+            self._subscribers.append(q)
+        return q
+
+    def unsubscribe(self, q: queue.Queue) -> None:
+        with self._lock:
+            if q in self._subscribers:
+                self._subscribers.remove(q)
+
+    def publish(self, event: str, data: Any) -> None:
+        msg = (event, data)
+        with self._lock:
+            subs = list(self._subscribers)
+        for q in subs:
+            try:
+                q.put_nowait(msg)
+            except queue.Full:
+                pass
+
+
+class QualityControlSystem:
+    """System orchestrator, parity with ``app.py:39-153``: config load,
+    model init with demo-mode fallback, queue worker, and
+    ``process_image`` chaining detector -> SPC -> anomaly score."""
+
+    def __init__(self, config_path: Optional[str] = None,
+                 config: Optional[SystemConfig] = None):
+        self.config = config or load_config(config_path)
+        self.detector = None
+        self.spc_analyzer = None
+        self.anomaly_detector = None
+        self.is_processing = False
+        self.processing_queue: queue.Queue = queue.Queue()
+        self.results_queue: queue.Queue = queue.Queue()
+        self.events = EventBroker()
+        self._worker: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    # -- init (app.py:83-104) --------------------------------------------------
+
+    def initialize_models(self) -> bool:
+        try:
+            from iqc_tpu.analytics import AnomalyDetector, SPCAnalyzer
+            from iqc_tpu.inference.detector import QualityControlDetector
+
+            self.detector = QualityControlDetector(config=self.config)
+            self.spc_analyzer = SPCAnalyzer(
+                window_size=self.config.spc.window_size,
+                confidence_level=self.config.spc.confidence_level,
+                config=self.config.spc,
+            )
+            self.anomaly_detector = AnomalyDetector()
+            return True
+        except Exception:
+            # degraded "demo mode": server starts, /health reports it
+            # (app.py:102-104, 273-274)
+            logger.exception("model initialization failed; running in demo mode")
+            self.detector = None
+            return False
+
+    # -- processing (app.py:123-153) --------------------------------------------
+
+    def process_image(self, image: np.ndarray, metadata: Optional[Dict] = None) -> Dict:
+        if self.detector is None:
+            return {"error": "System not initialized (demo mode)"}
+        if image.ndim == 1:
+            decoded = _decode_image(image.tobytes())
+            if decoded is None:
+                return {"error": "Could not decode image"}
+            image = decoded
+        result = self.detector.predict(image)
+        if "error" in result:
+            return result
+        if self.spc_analyzer is not None:
+            result["spc_analysis"] = self.spc_analyzer.analyze(result)
+            for alert in result["spc_analysis"].get("alerts", []):
+                self.events.publish("alert", alert)
+        if self.anomaly_detector is not None:
+            result["anomaly_score"] = self.anomaly_detector.detect(result)
+        if metadata:
+            result["metadata_in"] = metadata
+        self.events.publish(
+            "detection_result",
+            {
+                "total_defects": len(result.get("detections", [])),
+                "quality_grade": result.get("quality_assessment", {}).get("quality_grade"),
+                "pass_fail": result.get("quality_assessment", {}).get("pass_fail_status"),
+                "anomaly_score": result.get("anomaly_score", 0.0),
+                "timestamp": _now(),
+            },
+        )
+        return result
+
+    def predict_batch(self, images: List[np.ndarray]) -> List[Dict]:
+        if self.detector is None:
+            return [{"error": "System not initialized (demo mode)"} for _ in images]
+        results = self.detector.predict_batch(images)
+        for r in results:
+            if self.spc_analyzer is not None and "error" not in r:
+                r["spc_analysis"] = self.spc_analyzer.analyze(r)
+            if self.anomaly_detector is not None and "error" not in r:
+                r["anomaly_score"] = self.anomaly_detector.detect(r)
+        return results
+
+    # -- worker (app.py:106-121, blocking instead of busy-poll) -------------------
+
+    def start_processing_worker(self) -> None:
+        if self._worker is not None:
+            return
+        self._stop.clear()
+
+        def loop():
+            while not self._stop.is_set():
+                try:
+                    item = self.processing_queue.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                # aggregate whatever else is waiting into one device batch
+                batch = [item]
+                while len(batch) < self.config.processing.batch_size:
+                    try:
+                        batch.append(self.processing_queue.get_nowait())
+                    except queue.Empty:
+                        break
+                try:
+                    results = self.predict_batch([b["image"] for b in batch])
+                    for req, res in zip(batch, results):
+                        res["request_id"] = req.get("request_id")
+                        self.results_queue.put(res)
+                except Exception as e:
+                    for req in batch:
+                        self.results_queue.put(
+                            {"error": str(e), "request_id": req.get("request_id")}
+                        )
+
+        self._worker = threading.Thread(target=loop, daemon=True, name="qc-worker")
+        self._worker.start()
+
+    def stop_processing_worker(self) -> None:
+        self._stop.set()
+        if self._worker is not None:
+            self._worker.join(timeout=2.0)
+            self._worker = None
+
+    def update_config(self, patch: Dict) -> None:
+        self.config = self.config.update(patch)
+        if self.detector is not None:
+            self.detector.update_config(patch)
+
+    # passthroughs used by routes
+    def get_system_info(self) -> Dict:
+        return self.detector.get_system_info() if self.detector else {"detector_status": "demo_mode"}
+
+    def get_performance_stats(self) -> Dict:
+        return self.detector.get_performance_stats() if self.detector else {}
+
+    def benchmark(self, images, iterations) -> Dict:
+        return self.detector.benchmark(images, iterations) if self.detector else {"error": "demo mode"}
+
+    @property
+    def ensemble_predictor(self):
+        return self.detector.ensemble_predictor if self.detector else None
+
+    @property
+    def segmentator(self):
+        return self.detector.segmentator if self.detector else None
+
+    @property
+    def postprocessor(self):
+        return self.detector.postprocessor if self.detector else None
+
+
+# ---------------------------------------------------------------------------
+# App factory
+# ---------------------------------------------------------------------------
+
+
+def create_app(qc_system: Optional[QualityControlSystem] = None,
+               config_path: Optional[str] = None,
+               initialize: bool = True) -> App:
+    system = qc_system or QualityControlSystem(config_path)
+    if initialize and system.detector is None:
+        system.initialize_models()
+        system.start_processing_worker()
+
+    app = App("iqc_tpu")
+    app.qc_system = system  # the attribute the reference never wires
+
+    api_cfg = system.config.api
+    detect_limiter = RateLimiter(50 if api_cfg.rate_limit_enabled else 10**9)
+    batch_limiter = RateLimiter(10 if api_cfg.rate_limit_enabled else 10**9)
+
+    def limited(limiter: RateLimiter, req: Request) -> Optional[Response]:
+        if not limiter.allow(req.remote_addr or "local"):
+            return jsonify(
+                {
+                    "error": "Rate limit exceeded",
+                    "message": f"Maximum {limiter.max_requests} requests per {int(limiter.window)} seconds",
+                    "api_version": API_VERSION,
+                    "timestamp": _now(),
+                },
+                429,
+            )
+        return None
+
+    if api_cfg.cors_enabled:
+        def cors(req: Request) -> None:
+            return None
+
+        app.before_request.append(cors)
+
+    # -- inline routes (app.py:164-236) ----------------------------------------
+
+    @app.route("/")
+    def index(req: Request):
+        from iqc_tpu.serving.dashboard import DASHBOARD_HTML
+
+        return html(DASHBOARD_HTML)
+
+    @app.route("/health")
+    def health(req: Request):
+        return jsonify(
+            {
+                "status": "healthy",
+                "timestamp": _now(),
+                "models_loaded": system.detector is not None,
+            }
+        )
+
+    def _detect_from_files(req: Request):
+        entry = req.file("image") or req.file("file")
+        if entry is None:
+            return jsonify({"error": "No image provided"}, 400)
+        filename, data = entry
+        if not filename:
+            return jsonify({"error": "No file selected"}, 400)
+        image = _decode_image(data)
+        if image is None:
+            return jsonify({"error": "Could not decode image"}, 400)
+        result = system.process_image(image, {"filename": filename})
+        status = 500 if "error" in result else 200
+        return jsonify(result, status)
+
+    @app.route("/api/detect", methods=("POST",))
+    def detect_single(req: Request):
+        early = limited(detect_limiter, req)
+        if early:
+            return early
+        return _detect_from_files(req)
+
+    @app.route("/api/batch_detect", methods=("POST",))
+    @app.route("/api/detect/batch", methods=("POST",))
+    def detect_batch(req: Request):
+        early = limited(batch_limiter, req)
+        if early:
+            return early
+        entries = req.files.get("images") or req.files.get("files") or []
+        if not entries:
+            return jsonify({"error": "No images provided"}, 400)
+        images, names = [], []
+        for filename, data in entries:
+            img = _decode_image(data)
+            if img is not None:
+                images.append(img)
+                names.append(filename)
+        if not images:
+            return jsonify({"error": "No valid images provided"}, 400)
+        results = system.predict_batch(images)
+        for name, r in zip(names, results):
+            r["filename"] = name
+        return jsonify({"batch_results": results, "total_processed": len(results)})
+
+    @app.route("/api/stats")
+    def stats(req: Request):
+        return jsonify(
+            {
+                "system_status": "operational",
+                "models_loaded": system.detector is not None,
+                "queue_size": system.processing_queue.qsize(),
+                "timestamp": _now(),
+            }
+        )
+
+    # -- blueprint routes (api/routes.py) -----------------------------------------
+
+    @app.route("/api/detect/zip", methods=("POST",))
+    def detect_zip(req: Request):
+        entry = req.file("zip_file")
+        if entry is None:
+            return jsonify({"error": "No ZIP file provided"}, 400)
+        filename, data = entry
+        if not filename:
+            return jsonify({"error": "No file selected"}, 400)
+        images, names = [], []
+        try:
+            with zipfile.ZipFile(io.BytesIO(data)) as zf:
+                for info in zf.infolist():
+                    if info.filename.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+                        img = _decode_image(zf.read(info))
+                        if img is not None:
+                            images.append(img)
+                            names.append(info.filename)
+        except zipfile.BadZipFile:
+            return jsonify({"error": "Invalid ZIP file"}, 400)
+        if not images:
+            return jsonify({"error": "No valid images found in ZIP file"}, 400)
+        results = system.predict_batch(images)
+        for name, r in zip(names, results):
+            r["filename"] = name
+        return jsonify(
+            {
+                "batch_results": results,
+                "total_processed": len(results),
+                "source_zip": filename,
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/detect/base64", methods=("POST",))
+    def detect_base64(req: Request):
+        data = req.json()
+        if not data or "image" not in data:
+            return jsonify({"error": "No base64 image data provided"}, 400)
+        try:
+            raw = base64.b64decode(data["image"])
+        except Exception as e:
+            return jsonify({"error": f"Invalid base64 image data: {e}"}, 400)
+        image = _decode_image(raw)
+        if image is None:
+            return jsonify({"error": "Could not decode image"}, 400)
+        result = system.process_image(image)
+        result.update(
+            {"api_version": API_VERSION, "timestamp": _now(), "input_format": "base64"}
+        )
+        return jsonify(result, 500 if "error" in result else 200)
+
+    @app.route("/api/models/info")
+    def models_info(req: Request):
+        return jsonify(
+            {
+                "model_info": system.get_system_info(),
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/models/performance")
+    def models_performance(req: Request):
+        return jsonify(
+            {
+                "performance_stats": system.get_performance_stats(),
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/models/benchmark", methods=("POST",))
+    def models_benchmark(req: Request):
+        data = req.json() or {}
+        num_images = int(data.get("num_images", 10))
+        iterations = int(data.get("iterations", 3))
+        image_size = data.get("image_size", list(system.config.processing.input_size))
+        rng = np.random.default_rng(0)
+        test_images = [
+            rng.integers(0, 255, (*image_size, 3), dtype=np.uint8)
+            for _ in range(num_images)
+        ]
+        return jsonify(
+            {
+                "benchmark_results": system.benchmark(test_images, iterations),
+                "test_parameters": {
+                    "num_images": num_images,
+                    "iterations": iterations,
+                    "image_size": image_size,
+                },
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/config", methods=("GET", "PUT"))
+    def config_route(req: Request):
+        if req.method == "GET":
+            safe = system.config.to_dict()
+            alerts = safe.get("alerts")
+            if isinstance(alerts, dict) and "email" in alerts:
+                alerts["email"] = {"enabled": True}  # hide credentials
+            return jsonify(
+                {"config": safe, "api_version": API_VERSION, "timestamp": _now()}
+            )
+        data = req.json()
+        if not data:
+            return jsonify({"error": "No configuration data provided"}, 400)
+        try:
+            system.update_config(data)
+        except ValueError as e:
+            return jsonify({"error": f"Invalid configuration: {e}"}, 400)
+        return jsonify(
+            {
+                "message": "Configuration updated successfully",
+                "updated_fields": list(data.keys()),
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/thresholds", methods=("GET", "PUT"))
+    def thresholds_route(req: Request):
+        ens = system.ensemble_predictor
+        if req.method == "GET":
+            return jsonify(
+                {
+                    "thresholds": {
+                        "confidence_threshold": ens.confidence_threshold if ens else None,
+                        "nms_threshold": ens.nms_threshold if ens else None,
+                        "quality_thresholds": system.config.to_dict()["quality_control"]["thresholds"],
+                    },
+                    "api_version": API_VERSION,
+                    "timestamp": _now(),
+                }
+            )
+        data = req.json()
+        if not data:
+            return jsonify({"error": "No threshold data provided"}, 400)
+        if ens is not None:
+            if "confidence_threshold" in data:
+                ens.confidence_threshold = float(data["confidence_threshold"])
+            if "nms_threshold" in data:
+                ens.nms_threshold = float(data["nms_threshold"])
+        return jsonify(
+            {
+                "message": "Thresholds updated successfully",
+                "updated_thresholds": data,
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/spc/analyze", methods=("POST",))
+    def spc_analyze(req: Request):
+        data = req.json()
+        if not data or "detection_results" not in data:
+            return jsonify({"error": "No detection results provided"}, 400)
+        if system.spc_analyzer is None:
+            return jsonify({"error": "SPC analyzer not available"}, 500)
+        return jsonify(
+            {
+                "spc_analysis": system.spc_analyzer.analyze(data["detection_results"]),
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/spc/export", methods=("POST",))
+    def spc_export(req: Request):
+        data = req.json() or {}
+        out_path = data.get(
+            "output_path",
+            f"spc_report_{datetime.now().strftime('%Y%m%d_%H%M%S')}.json",
+        )
+        if system.spc_analyzer is None:
+            return jsonify({"error": "SPC analyzer not available"}, 500)
+        if system.spc_analyzer.export_spc_report(out_path):
+            return jsonify(
+                {
+                    "message": "SPC report exported successfully",
+                    "output_path": out_path,
+                    "api_version": API_VERSION,
+                    "timestamp": _now(),
+                }
+            )
+        return jsonify({"error": "Failed to export SPC report"}, 500)
+
+    @app.route("/api/quality/rules")
+    def quality_rules(req: Request):
+        return jsonify(
+            {
+                "quality_rules": system.config.to_dict()["quality_control"],
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/quality/assess", methods=("POST",))
+    def quality_assess(req: Request):
+        data = req.json()
+        if not data or "detections" not in data:
+            return jsonify({"error": "No detection data provided"}, 400)
+        detections = data["detections"]
+        counts = {"critical": 0, "major": 0, "minor": 0}
+        for d in detections:
+            counts[d.get("severity", "minor")] += 1
+        if system.postprocessor is not None:
+            grade, status_s, _risk = system.postprocessor.quality_rules(counts)
+        else:
+            grade, status_s = "A", "PASS"
+        return jsonify(
+            {
+                "quality_assessment": {
+                    "quality_grade": grade,
+                    "pass_fail_status": status_s,
+                    "total_defects": len(detections),
+                    "severity_breakdown": counts,
+                    "meets_requirements": status_s == "PASS",
+                },
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            }
+        )
+
+    @app.route("/api/health")
+    def api_health(req: Request):
+        components = {
+            "ensemble_predictor": system.ensemble_predictor is not None,
+            "segmentator": system.segmentator is not None,
+            "postprocessor": system.postprocessor is not None,
+        }
+        healthy = all(components.values())
+        return jsonify(
+            {
+                "status": "healthy" if healthy else "unhealthy",
+                "components": components,
+                "performance": system.get_performance_stats(),
+                "timestamp": _now(),
+                "api_version": API_VERSION,
+            },
+            200 if healthy else 503,
+        )
+
+    @app.route("/api/version")
+    def version(req: Request):
+        return jsonify(
+            {
+                "api_version": API_VERSION,
+                "framework_version": __version__,
+                "system_name": "Industrial Quality Control Computer Vision System (TPU-native)",
+                "description": "Multi-class defect detection, JAX/XLA fused pipeline",
+                "features": [
+                    "YOLOv8 object detection (Flax, fused XLA decode+NMS)",
+                    "ResNet-50 classification (real per-crop ensemble)",
+                    "Single-graph batched inference on TPU",
+                    "Statistical Process Control",
+                    "XLA AOT + bf16/int8 edge optimization",
+                    "Automated anomaly detection",
+                ],
+                "timestamp": _now(),
+            }
+        )
+
+    # -- realtime (SSE replacement for Socket.IO, app.py:238-261) -------------------
+
+    @app.route("/events")
+    def events(req: Request):
+        sub = system.events.subscribe()
+        max_events = int(req.query.get("max", "100"))
+        timeout = float(req.query.get("timeout", "30"))
+
+        def stream():
+            deadline = time.time() + timeout
+            sent = 0
+            yield b"event: status\ndata: {\"message\": \"Connected to QC System\"}\n\n"
+            try:
+                while sent < max_events and time.time() < deadline:
+                    try:
+                        event, data = sub.get(timeout=min(1.0, deadline - time.time()))
+                    except queue.Empty:
+                        continue
+                    payload = json.dumps(data, default=str)
+                    yield f"event: {event}\ndata: {payload}\n\n".encode()
+                    sent += 1
+            finally:
+                system.events.unsubscribe(sub)
+
+        body = b"".join(stream())  # bounded stream; see timeout/max params
+        return Response(body, content_type="text/event-stream")
+
+    @app.route("/realtime/start", methods=("POST",))
+    def realtime_start(req: Request):
+        system.is_processing = True
+        system.events.publish("status", {"message": "Real-time processing started"})
+        return jsonify({"message": "Real-time processing started"})
+
+    @app.route("/realtime/stop", methods=("POST",))
+    def realtime_stop(req: Request):
+        system.is_processing = False
+        system.events.publish("status", {"message": "Real-time processing stopped"})
+        return jsonify({"message": "Real-time processing stopped"})
+
+    # -- error handlers (routes.py:568-593) ----------------------------------------
+
+    @app.errorhandler(400)
+    def bad_request(msg):
+        return jsonify(
+            {
+                "error": "Bad request",
+                "message": msg or "Invalid request format or parameters",
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            },
+            400,
+        )
+
+    @app.errorhandler(404)
+    def not_found(msg):
+        return jsonify(
+            {
+                "error": "Not found",
+                "message": "API endpoint not found",
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            },
+            404,
+        )
+
+    @app.errorhandler(500)
+    def internal(msg):
+        return jsonify(
+            {
+                "error": "Internal server error",
+                "message": msg or "An unexpected error occurred",
+                "api_version": API_VERSION,
+                "timestamp": _now(),
+            },
+            500,
+        )
+
+    return app
+
+
+def main() -> None:  # pragma: no cover
+    import argparse
+
+    parser = argparse.ArgumentParser(description="IQC-TPU serving app")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--metrics-port", type=int, default=None)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    system = QualityControlSystem(args.config)
+    os.makedirs("logs", exist_ok=True)
+    system.initialize_models()
+    system.start_processing_worker()
+    app = create_app(system, initialize=False)
+
+    from iqc_tpu.serving.metrics import start_metrics_server
+    from iqc_tpu.serving.wsgi import serve
+
+    start_metrics_server(system, port=args.metrics_port or system.config.api.metrics_port)
+    serve(app, host=args.host or system.config.api.host,
+          port=args.port or system.config.api.port)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,221 @@
+"""Minimal WSGI micro-framework (stdlib only).
+
+Provides what the serving layer needs from Flask: routing with methods,
+JSON request/response helpers, multipart/form-data file uploads, error
+handlers, and a threaded dev server. ~200 lines instead of a dependency.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+import traceback
+from typing import Any, Callable, Dict, List, Optional, Tuple
+from urllib.parse import parse_qs
+from wsgiref.simple_server import WSGIServer, WSGIRequestHandler, make_server
+from socketserver import ThreadingMixIn
+
+
+class Request:
+    def __init__(self, environ: Dict[str, Any]):
+        self.environ = environ
+        self.method = environ.get("REQUEST_METHOD", "GET").upper()
+        self.path = environ.get("PATH_INFO", "/")
+        self.query = {
+            k: v[0] for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()
+        }
+        self.content_type = environ.get("CONTENT_TYPE", "")
+        self.remote_addr = environ.get("REMOTE_ADDR", "")
+        try:
+            self.content_length = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            self.content_length = 0
+        self._body: Optional[bytes] = None
+        self._files: Optional[Dict[str, List[Tuple[str, bytes]]]] = None
+        self._form: Optional[Dict[str, str]] = None
+
+    @property
+    def body(self) -> bytes:
+        if self._body is None:
+            stream = self.environ.get("wsgi.input")
+            self._body = stream.read(self.content_length) if stream and self.content_length else b""
+        return self._body
+
+    def json(self) -> Any:
+        if not self.body:
+            return None
+        try:
+            return json.loads(self.body.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            return None
+
+    # -- multipart/form-data ---------------------------------------------------
+
+    def _parse_multipart(self) -> None:
+        self._files = {}
+        self._form = {}
+        m = re.search(r'boundary="?([^";]+)"?', self.content_type)
+        if not m:
+            return
+        boundary = m.group(1).encode()
+        delim = b"--" + boundary
+        for part in self.body.split(delim):
+            part = part.strip(b"\r\n")
+            if not part or part == b"--":
+                continue
+            if b"\r\n\r\n" not in part:
+                continue
+            header_blob, content = part.split(b"\r\n\r\n", 1)
+            headers = {}
+            for line in header_blob.split(b"\r\n"):
+                if b":" in line:
+                    k, v = line.split(b":", 1)
+                    headers[k.decode().lower().strip()] = v.decode().strip()
+            disp = headers.get("content-disposition", "")
+            name_m = re.search(r'name="([^"]*)"', disp)
+            file_m = re.search(r'filename="([^"]*)"', disp)
+            if not name_m:
+                continue
+            field = name_m.group(1)
+            if file_m:
+                self._files.setdefault(field, []).append((file_m.group(1), content))
+            else:
+                self._form[field] = content.decode("utf-8", "replace")
+
+    @property
+    def files(self) -> Dict[str, List[Tuple[str, bytes]]]:
+        if self._files is None:
+            if self.content_type.startswith("multipart/form-data"):
+                self._parse_multipart()
+            else:
+                self._files, self._form = {}, {}
+        return self._files
+
+    @property
+    def form(self) -> Dict[str, str]:
+        self.files  # trigger parse
+        return self._form or {}
+
+    def file(self, field: str) -> Optional[Tuple[str, bytes]]:
+        entries = self.files.get(field)
+        return entries[0] if entries else None
+
+
+class Response:
+    def __init__(self, body: bytes, status: int = 200,
+                 content_type: str = "application/json",
+                 headers: Optional[List[Tuple[str, str]]] = None):
+        self.body = body
+        self.status = status
+        self.headers = [("Content-Type", content_type)] + (headers or [])
+
+
+def jsonify(data: Any, status: int = 200) -> Response:
+    return Response(json.dumps(data, default=str).encode("utf-8"), status=status)
+
+
+def html(text: str, status: int = 200) -> Response:
+    return Response(text.encode("utf-8"), status=status, content_type="text/html; charset=utf-8")
+
+
+_STATUS_TEXT = {
+    200: "OK", 201: "Created", 204: "No Content", 400: "Bad Request",
+    401: "Unauthorized", 404: "Not Found", 405: "Method Not Allowed",
+    413: "Payload Too Large", 429: "Too Many Requests",
+    500: "Internal Server Error", 503: "Service Unavailable",
+}
+
+
+class App:
+    """Route table + WSGI callable. Routes support <param> path segments."""
+
+    def __init__(self, name: str = "app"):
+        self.name = name
+        self._routes: List[Tuple[re.Pattern, Tuple[str, ...], Callable]] = []
+        self._error_handlers: Dict[int, Callable] = {}
+        self.before_request: List[Callable[[Request], Optional[Response]]] = []
+
+    def route(self, path: str, methods: Tuple[str, ...] = ("GET",)):
+        pattern = re.compile(
+            "^" + re.sub(r"<([a-zA-Z_]+)>", r"(?P<\1>[^/]+)", path) + "$"
+        )
+
+        def deco(fn):
+            self._routes.append((pattern, tuple(m.upper() for m in methods), fn))
+            return fn
+
+        return deco
+
+    def errorhandler(self, status: int):
+        def deco(fn):
+            self._error_handlers[status] = fn
+            return fn
+
+        return deco
+
+    def _error(self, status: int, message: str = "") -> Response:
+        handler = self._error_handlers.get(status)
+        if handler:
+            return handler(message)
+        return jsonify({"error": message or _STATUS_TEXT.get(status, "error")}, status)
+
+    def __call__(self, environ, start_response):
+        req = Request(environ)
+        try:
+            resp = self._dispatch(req)
+        except Exception:
+            traceback.print_exc()
+            resp = self._error(500, "Internal server error")
+        if isinstance(resp, tuple):  # (data, status)
+            resp = jsonify(resp[0], resp[1])
+        elif not isinstance(resp, Response):
+            resp = jsonify(resp)
+        status_line = f"{resp.status} {_STATUS_TEXT.get(resp.status, 'OK')}"
+        headers = resp.headers + [("Content-Length", str(len(resp.body)))]
+        start_response(status_line, headers)
+        return [resp.body]
+
+    def _dispatch(self, req: Request):
+        for hook in self.before_request:
+            early = hook(req)
+            if early is not None:
+                return early
+        path_matched = False
+        for pattern, methods, fn in self._routes:
+            m = pattern.match(req.path)
+            if not m:
+                continue
+            path_matched = True
+            if req.method not in methods:
+                continue
+            return fn(req, **m.groupdict())
+        if path_matched:
+            return self._error(405, "Method not allowed")
+        return self._error(404, f"Endpoint {req.path} not found")
+
+
+class _ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+    daemon_threads = True
+
+
+class _QuietHandler(WSGIRequestHandler):
+    def log_message(self, fmt, *args):  # pragma: no cover
+        pass
+
+
+def serve(app: App, host: str = "0.0.0.0", port: int = 5000, background: bool = False):
+    """Threaded WSGI server (the reference runs gunicorn+eventlet x4,
+    Dockerfile:96; this is the dev-server equivalent)."""
+    server = make_server(host, port, app, server_class=_ThreadingWSGIServer,
+                         handler_class=_QuietHandler)
+    if background:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover
+        pass
+    return server

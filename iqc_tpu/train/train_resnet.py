@@ -1,0 +1,364 @@
+"""ResNet-50 defect-classifier trainer (pjit data-parallel).
+
+Rebuild of ``train/train_resnet.py`` (630 lines of torch/AMP): the epoch
+loop drives the pure jitted train step from ``iqc_tpu/train/steps.py``
+sharded over the device mesh; bf16 matmuls replace AMP autocast/GradScaler
+(``train_resnet.py:371-382``); balanced sampling, class-weighted CE with
+label smoothing, Adam/SGD/AdamW + step/cosine/plateau schedules
+(``train_resnet.py:287-346``), validation with precision/recall/F1,
+best-checkpointing, early stopping, and resume are all carried over.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from iqc_tpu.config import DEFECT_CLASSES, MeshConfig
+from iqc_tpu.data.pipeline import ArrayDataset, DataLoader, ImageFolderDataset, device_prefetch
+from iqc_tpu.models.resnet import ResNet50
+from iqc_tpu.parallel.mesh import create_mesh, replicate
+from iqc_tpu.train.checkpoint import CheckpointManager, load_variables, save_variables
+from iqc_tpu.train.steps import (
+    TrainState,
+    create_train_state,
+    make_classifier_eval_step,
+    make_classifier_train_step,
+    shard_train_step,
+)
+from iqc_tpu.train.utils import (
+    EarlyStopping,
+    MetricsTracker,
+    compute_class_weights,
+    set_global_seed,
+    training_report,
+)
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CONFIG: Dict[str, Any] = {
+    "num_classes": 5,
+    "image_size": 224,
+    "batch_size": 32,
+    "epochs": 50,
+    "learning_rate": 1e-3,
+    "weight_decay": 1e-4,
+    "optimizer": "adam",          # adam | sgd | adamw
+    "scheduler": "cosine",        # step | cosine | plateau | none
+    "step_size": 10,
+    "gamma": 0.1,
+    "label_smoothing": 0.1,
+    "use_class_weights": True,
+    "balanced_sampling": True,
+    "val_frequency": 1,
+    "early_stopping_patience": 10,
+    "checkpoint_dir": "checkpoints/resnet",
+    "stage_sizes": [3, 4, 6, 3],
+    "compute_dtype": "bfloat16",
+    "seed": 42,
+}
+
+
+def precision_recall_f1(preds: np.ndarray, labels: np.ndarray, num_classes: int) -> Dict:
+    """Macro P/R/F1 + per-class, no sklearn (train_resnet.py:406-438)."""
+    p, r = [], []
+    for c in range(num_classes):
+        tp = int(np.sum((preds == c) & (labels == c)))
+        fp = int(np.sum((preds == c) & (labels != c)))
+        fn = int(np.sum((preds != c) & (labels == c)))
+        p.append(tp / (tp + fp) if tp + fp else 0.0)
+        r.append(tp / (tp + fn) if tp + fn else 0.0)
+    p_arr, r_arr = np.asarray(p), np.asarray(r)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f1 = np.where(p_arr + r_arr > 0, 2 * p_arr * r_arr / (p_arr + r_arr), 0.0)
+    return {
+        "precision": float(p_arr.mean()),
+        "recall": float(r_arr.mean()),
+        "f1": float(f1.mean()),
+        "per_class_precision": p_arr.tolist(),
+        "per_class_recall": r_arr.tolist(),
+    }
+
+
+def confusion_matrix(preds: np.ndarray, labels: np.ndarray, num_classes: int) -> np.ndarray:
+    cm = np.zeros((num_classes, num_classes), dtype=np.int64)
+    np.add.at(cm, (labels, preds), 1)
+    return cm
+
+
+class ResNetTrainer:
+    """Config-driven trainer, API parity with the reference
+    ``ResNetTrainer`` (train_resnet.py:30-573)."""
+
+    def __init__(self, config: Optional[Dict] = None, mesh_config: Optional[MeshConfig] = None):
+        self.config = {**DEFAULT_CONFIG, **(config or {})}
+        self.rng = set_global_seed(self.config["seed"])
+        self.mesh = create_mesh(mesh_config or MeshConfig())
+        dtype = jnp.bfloat16 if self.config["compute_dtype"] == "bfloat16" else jnp.float32
+        self.module = ResNet50(
+            num_classes=self.config["num_classes"],
+            stage_sizes=tuple(self.config["stage_sizes"]),
+            dtype=dtype,
+        )
+        self.metrics = MetricsTracker()
+        self.checkpoints = CheckpointManager(
+            self.config["checkpoint_dir"], monitor="val_accuracy", mode="max",
+            keep_best_only=False, save_frequency=10,
+        )
+        self.state: Optional[TrainState] = None
+        self._optimizer = None
+        self._train_step = None
+        self._eval_step = None
+        self.start_epoch = 0
+
+    # -- data (train_resnet.py:74-223) --------------------------------------------
+
+    def setup_data(self, train_ds, val_ds=None, test_ds=None):
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.test_ds = test_ds
+        bs = self.config["batch_size"]
+        if bs % self.mesh.data_size:
+            raise ValueError(
+                f"batch_size {bs} must be divisible by data-parallel size {self.mesh.data_size}"
+            )
+        self.train_loader = DataLoader(
+            train_ds, bs, shuffle=True,
+            balanced=self.config["balanced_sampling"], seed=self.config["seed"],
+        )
+        self.val_loader = (
+            DataLoader(val_ds, bs, shuffle=False, drop_last=False) if val_ds else None
+        )
+
+    @classmethod
+    def from_image_folders(cls, data_dir: str, config: Optional[Dict] = None):
+        trainer = cls(config)
+        size = (trainer.config["image_size"], trainer.config["image_size"])
+        mk = lambda split: (
+            ImageFolderDataset(os.path.join(data_dir, split), size, DEFECT_CLASSES)
+            if os.path.isdir(os.path.join(data_dir, split))
+            else None
+        )
+        train_ds = mk("train")
+        if train_ds is None:
+            raise FileNotFoundError(f"no train/ split under {data_dir}")
+        trainer.setup_data(train_ds, mk("val"), mk("test"))
+        return trainer
+
+    # -- model/optim (train_resnet.py:225-356) ----------------------------------------
+
+    def _build_schedule(self, steps_per_epoch: int):
+        c = self.config
+        base = c["learning_rate"]
+        if c["scheduler"] == "cosine":
+            return optax.cosine_decay_schedule(base, c["epochs"] * max(steps_per_epoch, 1))
+        if c["scheduler"] == "step":
+            return optax.exponential_decay(
+                base, c["step_size"] * max(steps_per_epoch, 1), c["gamma"], staircase=True
+            )
+        return base  # plateau handled at epoch level; none = constant
+
+    def build(self, steps_per_epoch: int = 100):
+        c = self.config
+        schedule = self._build_schedule(steps_per_epoch)
+        if c["optimizer"] == "sgd":
+            opt = optax.sgd(schedule, momentum=0.9, nesterov=True)
+        elif c["optimizer"] == "adamw":
+            opt = optax.adamw(schedule, weight_decay=c["weight_decay"])
+        else:
+            opt = optax.chain(
+                optax.add_decayed_weights(c["weight_decay"]), optax.adam(schedule)
+            )
+        self._optimizer = opt
+
+        size = c["image_size"]
+        variables = self.module.init(
+            self.rng, jnp.zeros((1, size, size, 3), jnp.float32), train=False
+        )
+        state = create_train_state(variables, opt)
+        self.state = replicate(self.mesh, state)
+
+        class_weights = None
+        if c["use_class_weights"] and hasattr(self, "train_ds"):
+            class_weights = jnp.asarray(
+                compute_class_weights(self.train_ds.labels, c["num_classes"])
+            )
+        step = make_classifier_train_step(
+            self.module, opt, c["label_smoothing"], class_weights
+        )
+        self._train_step = shard_train_step(step, self.mesh)
+        self._eval_step = jax.jit(make_classifier_eval_step(self.module))
+
+    # -- loops (train_resnet.py:358-497) ----------------------------------------------
+
+    @staticmethod
+    def _normalize(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        from iqc_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+        imgs = batch["images"].astype(np.float32) / 255.0
+        imgs = (imgs - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        return {"images": imgs.astype(np.float32), "labels": batch["labels"]}
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        losses, accs = [], []
+        t0 = time.time()
+        sharding = self.mesh.batch_sharding()
+        batches = (self._normalize(b) for b in self.train_loader)
+        for batch in device_prefetch(batches, sharding):
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, m = self._train_step(
+                self.state, batch["images"], batch["labels"], step_rng
+            )
+            losses.append(m["loss"])
+            accs.append(m["accuracy"])
+        if not losses:
+            return {"loss": 0.0, "accuracy": 0.0, "epoch_seconds": 0.0}
+        return {
+            "loss": float(jnp.mean(jnp.stack(losses))),
+            "accuracy": float(jnp.mean(jnp.stack(accs))),
+            "epoch_seconds": time.time() - t0,
+        }
+
+    def evaluate(self, loader) -> Dict[str, float]:
+        preds, labels, losses = [], [], []
+        for batch in loader:
+            b = self._normalize(batch)
+            out = self._eval_step(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(b["images"]), jnp.asarray(b["labels"]),
+            )
+            preds.append(np.asarray(out["preds"]))
+            labels.append(np.asarray(out["labels"]))
+            losses.append(float(out["loss"]))
+        if not preds:
+            return {"loss": 0.0, "accuracy": 0.0}
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        metrics = {
+            "loss": float(np.mean(losses)),
+            "accuracy": float(np.mean(preds == labels)),
+        }
+        metrics.update(precision_recall_f1(preds, labels, self.config["num_classes"]))
+        return metrics
+
+    def train(self, epochs: Optional[int] = None) -> Dict:
+        c = self.config
+        epochs = epochs or c["epochs"]
+        if self._train_step is None:
+            self.build(steps_per_epoch=max(len(self.train_loader), 1))
+        stopper = EarlyStopping(patience=c["early_stopping_patience"], mode="max")
+        best_acc = 0.0
+        for epoch in range(self.start_epoch, epochs):
+            train_m = self.train_epoch(epoch)
+            row = {"loss": train_m["loss"], "accuracy": train_m["accuracy"]}
+            if self.val_loader is not None and (epoch + 1) % c["val_frequency"] == 0:
+                val_m = self.evaluate(self.val_loader)
+                row.update({f"val_{k}": v for k, v in val_m.items()
+                            if isinstance(v, (int, float))})
+                acc = val_m["accuracy"]
+                best_acc = max(best_acc, acc)
+                self.checkpoints.step(epoch, row, self.variables())
+                if stopper.step(acc):
+                    logger.info("early stopping at epoch %d", epoch)
+                    self.metrics.update(row)
+                    break
+            self.metrics.update(row)
+            logger.info(
+                "epoch %d: loss=%.4f acc=%.4f val_acc=%s (%.1fs)",
+                epoch, row["loss"], row["accuracy"],
+                f"{row.get('val_accuracy', float('nan')):.4f}", train_m["epoch_seconds"],
+            )
+        report = training_report(self.metrics.history)
+        report["best_val_accuracy"] = best_acc
+        return report
+
+    def test(self) -> Dict:
+        """Held-out evaluation + confusion matrix (train_resnet.py:521-573)."""
+        if self.test_ds is None:
+            return {"error": "no test split"}
+        loader = DataLoader(self.test_ds, self.config["batch_size"],
+                            shuffle=False, drop_last=False)
+        preds, labels = [], []
+        for batch in loader:
+            b = self._normalize(batch)
+            out = self._eval_step(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(b["images"]), jnp.asarray(b["labels"]),
+            )
+            preds.append(np.asarray(out["preds"]))
+            labels.append(np.asarray(out["labels"]))
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        result = {"accuracy": float(np.mean(preds == labels))}
+        result.update(precision_recall_f1(preds, labels, self.config["num_classes"]))
+        result["confusion_matrix"] = confusion_matrix(
+            preds, labels, self.config["num_classes"]
+        ).tolist()
+        return result
+
+    # -- checkpointing (train_resnet.py:499-519, 602-609) ------------------------------
+
+    def variables(self):
+        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    def save(self, path: str, epoch: int = 0) -> None:
+        save_variables(path, self.variables(), {"epoch": epoch, "config": self.config})
+
+    def resume(self, path: str) -> None:
+        if self._train_step is None:
+            self.build(steps_per_epoch=max(len(getattr(self, "train_loader", [])) or 1, 1))
+        loaded = load_variables(path, self.variables())
+        self.state = TrainState(
+            step=self.state.step,
+            params=loaded["params"],
+            batch_stats=loaded.get("batch_stats", self.state.batch_stats),
+            opt_state=self._optimizer.init(loaded["params"]),
+        )
+        meta_path = path + ".json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.start_epoch = int(json.load(f).get("epoch", 0))
+
+
+def main() -> None:  # pragma: no cover
+    import argparse
+
+    import yaml
+
+    parser = argparse.ArgumentParser(description="Train ResNet-50 defect classifier")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--data-dir", required=True)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--resume", default=None)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    config = {}
+    if args.config:
+        with open(args.config) as f:
+            raw = yaml.safe_load(f) or {}
+        config = raw.get("training", raw)
+    if args.epochs:
+        config["epochs"] = args.epochs
+
+    trainer = ResNetTrainer.from_image_folders(args.data_dir, config)
+    trainer.build(steps_per_epoch=max(len(trainer.train_loader), 1))
+    if args.resume:
+        trainer.resume(args.resume)
+    report = trainer.train()
+    print(json.dumps(report, indent=2))
+    if trainer.test_ds is not None:
+        print(json.dumps(trainer.test(), indent=2))
+    trainer.save(os.path.join(trainer.config["checkpoint_dir"], "final_model.msgpack"))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -58,6 +58,8 @@ def tiny_config():
                 "max_classified": 4,
                 "confidence_threshold": 0.25,
                 "compute_dtype": "float32",
+                "classifier_input": 64,
+                "resnet_stages": [1, 1, 1, 1],
             },
             "processing": {
                 "batch_size": 2,

@@ -1,0 +1,302 @@
+import io
+import json
+import zipfile
+
+import numpy as np
+import pytest
+
+from iqc_tpu.serving.app import QualityControlSystem, create_app
+from iqc_tpu.serving.wsgi import App, Request, jsonify
+
+
+def wsgi_call(app, method, path, body=b"", content_type="", query=""):
+    """Drive the WSGI app directly (no socket) — returns (status, json)."""
+    environ = {
+        "REQUEST_METHOD": method,
+        "PATH_INFO": path,
+        "QUERY_STRING": query,
+        "CONTENT_TYPE": content_type,
+        "CONTENT_LENGTH": str(len(body)),
+        "REMOTE_ADDR": "127.0.0.1",
+        "wsgi.input": io.BytesIO(body),
+    }
+    captured = {}
+
+    def start_response(status, headers):
+        captured["status"] = int(status.split()[0])
+        captured["headers"] = headers
+
+    chunks = app(environ, start_response)
+    raw = b"".join(chunks)
+    try:
+        data = json.loads(raw)
+    except ValueError:
+        data = raw
+    return captured["status"], data
+
+
+def multipart(fields):
+    """fields: list of (name, filename_or_None, bytes_or_str)."""
+    boundary = "testboundary123"
+    out = io.BytesIO()
+    for name, filename, content in fields:
+        out.write(f"--{boundary}\r\n".encode())
+        if filename:
+            out.write(
+                f'Content-Disposition: form-data; name="{name}"; filename="{filename}"\r\n\r\n'.encode()
+            )
+            out.write(content if isinstance(content, bytes) else content.encode())
+        else:
+            out.write(f'Content-Disposition: form-data; name="{name}"\r\n\r\n'.encode())
+            out.write(content.encode() if isinstance(content, str) else content)
+        out.write(b"\r\n")
+    out.write(f"--{boundary}--\r\n".encode())
+    return out.getvalue(), f"multipart/form-data; boundary={boundary}"
+
+
+def jpeg_bytes(size=(96, 96), seed=0):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img = Image.fromarray(rng.integers(0, 255, (*size, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def system(tiny_config):
+    s = QualityControlSystem(config=tiny_config)
+    assert s.initialize_models()
+    return s
+
+
+@pytest.fixture(scope="module")
+def app(system):
+    return create_app(system, initialize=False)
+
+
+def test_health(app):
+    status, data = wsgi_call(app, "GET", "/health")
+    assert status == 200
+    assert data["models_loaded"] is True
+
+
+def test_index_dashboard(app):
+    status, data = wsgi_call(app, "GET", "/")
+    assert status == 200
+    assert b"Industrial QC Vision" in data
+
+
+def test_version(app):
+    status, data = wsgi_call(app, "GET", "/api/version")
+    assert status == 200
+    assert data["api_version"] == "1.0.0"
+    assert any("YOLOv8" in f for f in data["features"])
+
+
+def test_detect_single(app):
+    body, ctype = multipart([("image", "test.jpg", jpeg_bytes())])
+    status, data = wsgi_call(app, "POST", "/api/detect", body, ctype)
+    assert status == 200
+    assert "quality_assessment" in data
+    assert "spc_analysis" in data
+    assert "anomaly_score" in data
+    assert data["metadata_in"]["filename"] == "test.jpg"
+
+
+def test_detect_no_image(app):
+    status, data = wsgi_call(app, "POST", "/api/detect")
+    assert status == 400
+    assert "error" in data
+
+
+def test_detect_bad_image(app):
+    body, ctype = multipart([("image", "x.jpg", b"not an image")])
+    status, data = wsgi_call(app, "POST", "/api/detect", body, ctype)
+    assert status == 400
+
+
+def test_batch_detect(app):
+    body, ctype = multipart(
+        [("images", "a.jpg", jpeg_bytes(seed=1)), ("images", "b.jpg", jpeg_bytes(seed=2))]
+    )
+    status, data = wsgi_call(app, "POST", "/api/batch_detect", body, ctype)
+    assert status == 200
+    assert data["total_processed"] == 2
+    assert data["batch_results"][0]["filename"] == "a.jpg"
+
+
+def test_detect_zip(app):
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("one.jpg", jpeg_bytes(seed=3))
+        zf.writestr("skip.txt", b"not an image")
+    body, ctype = multipart([("zip_file", "imgs.zip", zbuf.getvalue())])
+    status, data = wsgi_call(app, "POST", "/api/detect/zip", body, ctype)
+    assert status == 200
+    assert data["total_processed"] == 1
+    assert data["source_zip"] == "imgs.zip"
+
+
+def test_detect_base64(app):
+    import base64
+
+    payload = json.dumps({"image": base64.b64encode(jpeg_bytes(seed=4)).decode()})
+    status, data = wsgi_call(
+        app, "POST", "/api/detect/base64", payload.encode(), "application/json"
+    )
+    assert status == 200
+    assert data["input_format"] == "base64"
+
+
+def test_detect_base64_invalid(app):
+    status, data = wsgi_call(
+        app, "POST", "/api/detect/base64",
+        json.dumps({"image": "!!!"}).encode(), "application/json",
+    )
+    assert status == 400
+
+
+def test_models_info_and_performance(app):
+    status, data = wsgi_call(app, "GET", "/api/models/info")
+    assert status == 200 and "model_info" in data
+    status, data = wsgi_call(app, "GET", "/api/models/performance")
+    assert status == 200 and "performance_stats" in data
+
+
+def test_config_get_put(app, system):
+    status, data = wsgi_call(app, "GET", "/api/config")
+    assert status == 200
+    assert data["config"]["model"]["num_classes"] == 5
+    patch = json.dumps({"model": {"confidence_threshold": 0.42}})
+    status, data = wsgi_call(app, "PUT", "/api/config", patch.encode(), "application/json")
+    assert status == 200
+    assert system.config.model.confidence_threshold == 0.42
+    # invalid config rejected with 400, state unchanged
+    bad = json.dumps({"model": {"confidence_threshold": 7}})
+    status, data = wsgi_call(app, "PUT", "/api/config", bad.encode(), "application/json")
+    assert status == 400
+    assert system.config.model.confidence_threshold == 0.42
+
+
+def test_thresholds_get_put(app, system):
+    status, data = wsgi_call(app, "GET", "/api/thresholds")
+    assert status == 200
+    patch = json.dumps({"confidence_threshold": 0.55, "nms_threshold": 0.45})
+    status, _ = wsgi_call(app, "PUT", "/api/thresholds", patch.encode(), "application/json")
+    assert status == 200
+    assert system.ensemble_predictor.confidence_threshold == 0.55
+    assert system.ensemble_predictor.nms_threshold == 0.45
+
+
+def test_spc_analyze_and_export(app, tmp_path):
+    payload = json.dumps(
+        {"detection_results": {"detections": [
+            {"ensemble_confidence": 0.9, "final_severity": "minor",
+             "bbox": {"width": 10, "height": 10}}
+        ]}}
+    )
+    status, data = wsgi_call(app, "POST", "/api/spc/analyze", payload.encode(), "application/json")
+    assert status == 200
+    assert "current_metrics" in data["spc_analysis"]
+    out = str(tmp_path / "spc.json")
+    status, data = wsgi_call(
+        app, "POST", "/api/spc/export",
+        json.dumps({"output_path": out}).encode(), "application/json",
+    )
+    assert status == 200
+    assert json.load(open(out))["data_summary"]["total_samples"] >= 1
+
+
+def test_quality_rules_and_assess(app):
+    status, data = wsgi_call(app, "GET", "/api/quality/rules")
+    assert status == 200
+    assert "thresholds" in data["quality_rules"]
+    payload = json.dumps(
+        {"detections": [{"severity": "critical"}, {"severity": "minor"}]}
+    )
+    status, data = wsgi_call(app, "POST", "/api/quality/assess", payload.encode(), "application/json")
+    assert status == 200
+    assert data["quality_assessment"]["quality_grade"] == "F"
+    assert data["quality_assessment"]["pass_fail_status"] == "FAIL"
+
+
+def test_api_health(app):
+    status, data = wsgi_call(app, "GET", "/api/health")
+    assert status == 200
+    assert data["status"] == "healthy"
+    assert all(data["components"].values())
+
+
+def test_stats_and_404_405(app):
+    status, data = wsgi_call(app, "GET", "/api/stats")
+    assert status == 200 and data["system_status"] == "operational"
+    status, data = wsgi_call(app, "GET", "/api/nonexistent")
+    assert status == 404
+    status, data = wsgi_call(app, "GET", "/api/detect")  # wrong method
+    assert status == 405
+
+
+def test_rate_limiter():
+    from iqc_tpu.serving.app import RateLimiter
+
+    rl = RateLimiter(max_requests=3, window=60)
+    assert all(rl.allow("1.2.3.4") for _ in range(3))
+    assert not rl.allow("1.2.3.4")
+    assert rl.allow("5.6.7.8")  # other clients unaffected
+
+
+def test_events_sse(app, system):
+    import threading
+
+    # publish while the stream is open (subscription happens inside the route)
+    t = threading.Timer(0.3, lambda: system.events.publish("alert", {"message": "test alert"}))
+    t.start()
+    status, body = wsgi_call(app, "GET", "/events", query="timeout=2&max=1")
+    t.join()
+    assert status == 200
+    assert b"Connected to QC System" in body
+    assert b"test alert" in body
+
+
+def test_realtime_toggle(app, system):
+    status, _ = wsgi_call(app, "POST", "/realtime/start")
+    assert status == 200 and system.is_processing
+    status, _ = wsgi_call(app, "POST", "/realtime/stop")
+    assert status == 200 and not system.is_processing
+
+
+def test_queue_worker(system):
+    system.start_processing_worker()
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    for i in range(3):
+        system.processing_queue.put({"image": img, "request_id": i})
+    results = [system.results_queue.get(timeout=60) for _ in range(3)]
+    assert {r["request_id"] for r in results} == {0, 1, 2}
+    assert all("quality_assessment" in r for r in results)
+    system.stop_processing_worker()
+
+
+def test_metrics_exporter(system):
+    from iqc_tpu.serving.metrics import render_metrics
+
+    text = render_metrics(system)
+    assert "iqc_predictions_total" in text
+    assert "iqc_models_loaded 1" in text
+
+
+def test_demo_mode_degradation(tiny_config):
+    """Demo-mode fallback: server runs with detector=None
+    (app.py:102-104, 273-274)."""
+    s = QualityControlSystem(config=tiny_config)
+    # do NOT initialize models
+    app = create_app(s, initialize=False)
+    status, data = wsgi_call(app, "GET", "/health")
+    assert status == 200 and data["models_loaded"] is False
+    status, data = wsgi_call(app, "GET", "/api/health")
+    assert status == 503
+    body, ctype = multipart([("image", "t.jpg", jpeg_bytes())])
+    status, data = wsgi_call(app, "POST", "/api/detect", body, ctype)
+    assert status == 500 and "demo mode" in data["error"]
