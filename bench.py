@@ -25,6 +25,16 @@ def main() -> None:
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
     import jax
+
+    # persistent compile cache: the tunnel-TPU first compile is minutes;
+    # warm-cache reruns are seconds
+    cache_dir = os.environ.get(
+        "JAX_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), ".xla_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
