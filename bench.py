@@ -26,14 +26,9 @@ def main() -> None:
 
     import jax
 
-    # persistent compile cache: the tunnel-TPU first compile is minutes;
-    # warm-cache reruns are seconds
-    cache_dir = os.environ.get(
-        "JAX_COMPILE_CACHE", os.path.join(os.path.dirname(__file__), ".xla_cache")
-    )
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NOTE: do NOT enable the persistent compilation cache here — on the
+    # axon tunnel backend cache serialization hangs jit compiles
+    # (measured: dfl kernel 0.8s without cache, >9 min with).
 
     import jax.numpy as jnp
     import numpy as np
@@ -62,16 +57,22 @@ def main() -> None:
     yolo_vars = yolo.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32), train=False)
     resnet_vars = resnet.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32), train=False)
 
-    fwd = jax.jit(
+    from iqc_tpu.models.yolo import STRIDES, feature_shapes
+    from iqc_tpu.ops.jit_utils import hoisted_jit
+    from iqc_tpu.ops.nms import make_anchors
+
+    fwd = hoisted_jit(
         build_ensemble_forward(yolo, resnet, (640, 640), m.max_detections, m.max_classified)
     )
+    anchors, strides = make_anchors(feature_shapes((640, 640)), STRIDES)
 
     images = np.random.default_rng(0).integers(
         0, 255, (batch, 640, 640, 3), dtype=np.uint8
     )
     images_dev = jax.device_put(jnp.asarray(images))
     args = (
-        jnp.float32(0.25), jnp.float32(0.5), jnp.float32(0.6), jnp.float32(0.4)
+        jnp.float32(0.25), jnp.float32(0.5), jnp.float32(0.6), jnp.float32(0.4),
+        jax.device_put(anchors), jax.device_put(strides),
     )
 
     def run_once():

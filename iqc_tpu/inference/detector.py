@@ -67,7 +67,9 @@ class QualityControlDetector:
         denoise = bool(pre.denoise)
         enhance = bool(pre.enhance_contrast)
 
-        @jax.jit
+        from iqc_tpu.ops.jit_utils import hoisted_jit
+
+        @hoisted_jit
         def fn(images):
             x = imops.to_float(images)
             if resize is not None and x.shape[1:3] != resize:

@@ -48,7 +48,9 @@ class ImageSegmentator:
         self.roi_size = roi_size
         self.class_names = list(self.config.quality_control.defect_classes)
 
-        self._kernel = jax.jit(
+        from iqc_tpu.ops.jit_utils import hoisted_jit
+
+        self._kernel = hoisted_jit(
             lambda img, boxes, cids, valid: segment_detections(
                 img, boxes, cids, valid, roi_size=self.roi_size
             )

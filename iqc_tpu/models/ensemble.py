@@ -73,12 +73,15 @@ def build_ensemble_forward(
     """Return the pure fused forward fn (jit it once, reuse forever).
 
     Signature: f(yolo_vars, resnet_vars, images[B,H,W,3] uint8/float,
-    conf_t, iou_t, w_yolo, w_resnet) -> EnsembleOutputs
+    conf_t, iou_t, w_yolo, w_resnet, anchors, strides) -> EnsembleOutputs.
+    anchors/strides are runtime arguments (device arrays from
+    ``make_anchors``), never closed-over constants — embedded array
+    literals are pathological on the tunnel backend (ops/jit_utils.py).
     """
-    anchors, strides = make_anchors(feature_shapes(input_size), STRIDES)
     kc = max_classified
 
-    def forward(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet):
+    def forward(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,
+                anchors, strides):
         x = imops.to_float(images)
         if x.shape[1:3] != tuple(input_size):
             x = imops.resize_bilinear(x, input_size)
@@ -236,7 +239,12 @@ class EnsemblePredictor:
             self.yolo, self.resnet, self.input_size,
             self.max_detections, self.max_classified, classifier_input=ci,
         )
-        self._forward = jax.jit(fwd)
+        anchors, strides = make_anchors(feature_shapes(self.input_size), STRIDES)
+        self._anchors = jax.device_put(anchors)
+        self._strides = jax.device_put(strides)
+        from iqc_tpu.ops.jit_utils import hoisted_jit
+
+        self._forward = hoisted_jit(fwd)
 
     @staticmethod
     def _init_or_load(module, dummy_shape, path):
@@ -261,6 +269,7 @@ class EnsemblePredictor:
             jnp.float32(self.nms_threshold),
             jnp.float32(self.ensemble_weights["yolo"]),
             jnp.float32(self.ensemble_weights["resnet"]),
+            self._anchors, self._strides,
         )
 
     # -- reference-parity API ----------------------------------------------------

@@ -1,0 +1,174 @@
+"""XLA optimizer: AOT compilation + precision-lowered model variants.
+
+The reference declares a TensorRT optimizer it never ships
+(``models/__init__.py:10`` imports a nonexistent module; intent defined by
+``config.yaml:139-150`` — fp16/int8 precision, max_batch 8 — and the
+README's "60% model size reduction"). The TPU equivalents:
+
+- **AOT compile**: ``jax.jit(...).lower(...).compile()`` ahead of serving,
+  with FLOP/memory cost analysis — the engine-build step.
+- **bf16 weights**: cast parameters (50% size reduction, native MXU dtype).
+- **int8 weight quantization**: per-tensor symmetric weight-only
+  quantization with fp32 scales (75% size reduction — beats the
+  reference's 60% claim), dequantized on load; optional QDQ (fake-quant)
+  apply for accuracy evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PRECISIONS = ("fp32", "bf16", "int8")
+
+
+@dataclasses.dataclass
+class CompiledModel:
+    fn: Callable
+    compile_seconds: float
+    flops: Optional[float]
+    bytes_accessed: Optional[float]
+
+    def __call__(self, *args):
+        return self.fn(*args)
+
+
+def aot_compile(fn: Callable, *sample_args, static_argnums=()) -> CompiledModel:
+    """Ahead-of-time compile ``fn`` for the shapes of ``sample_args``."""
+    t0 = time.perf_counter()
+    lowered = jax.jit(fn, static_argnums=static_argnums).lower(*sample_args)
+    compiled = lowered.compile()
+    dt = time.perf_counter() - t0
+    flops = bytes_accessed = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float(cost.get("flops", 0.0)) or None
+        bytes_accessed = float(cost.get("bytes accessed", 0.0)) or None
+    except Exception:
+        pass
+    return CompiledModel(fn=compiled, compile_seconds=dt,
+                         flops=flops, bytes_accessed=bytes_accessed)
+
+
+# ---------------------------------------------------------------------------
+# precision lowering
+# ---------------------------------------------------------------------------
+
+
+def _tree_size_bytes(tree) -> int:
+    return sum(
+        int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+        for x in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def to_bf16(params):
+    """Cast float params to bfloat16 (integer/bool leaves unchanged)."""
+    def cast(x):
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
+            return jnp.asarray(x, jnp.bfloat16)
+        return x
+
+    return jax.tree_util.tree_map(cast, params)
+
+
+def quantize_int8(params) -> Tuple[Any, Any]:
+    """Per-tensor symmetric weight-only int8 quantization.
+
+    Returns (int8_tree, scales_tree); non-float leaves pass through with
+    scale None. Matches the edge config intent (config.yaml:143-150).
+    """
+    def q(x):
+        x = jnp.asarray(x)
+        if not jnp.issubdtype(x.dtype, jnp.floating) or x.size == 0:
+            return x, None
+        scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
+        vals = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        return vals, scale
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    qs = [q(x) for x in leaves]
+    values = treedef.unflatten([v for v, _ in qs])
+    scales = treedef.unflatten([s if s is not None else jnp.float32(0) for _, s in qs])
+    return values, scales
+
+
+def dequantize_int8(values, scales):
+    def dq(v, s):
+        v = jnp.asarray(v)
+        if v.dtype == jnp.int8:
+            return v.astype(jnp.float32) * s
+        return v
+
+    return jax.tree_util.tree_map(dq, values, scales)
+
+
+class XLAOptimizer:
+    """Engine-builder facade, parity with the phantom ``TensorRTOptimizer``."""
+
+    def __init__(self, precision: str = "bf16", max_batch_size: int = 8):
+        if precision not in PRECISIONS:
+            raise ValueError(f"precision must be one of {PRECISIONS}")
+        self.precision = precision
+        self.max_batch_size = max_batch_size
+        self.report: Dict[str, Any] = {}
+
+    def optimize_variables(self, variables):
+        """Lower model variables to the configured precision. Returns
+        (optimized_variables, report)."""
+        original_bytes = _tree_size_bytes(variables)
+        if self.precision == "fp32":
+            out = variables
+        elif self.precision == "bf16":
+            out = to_bf16(variables)
+        else:  # int8: quantize + dequantize-on-load (weight-only QDQ)
+            values, scales = quantize_int8(variables)
+            self._int8 = (values, scales)
+            out = dequantize_int8(values, scales)
+        stored = variables if self.precision == "fp32" else (
+            to_bf16(variables) if self.precision == "bf16" else self._int8[0]
+        )
+        new_bytes = _tree_size_bytes(stored)
+        self.report = {
+            "precision": self.precision,
+            "original_size_mb": original_bytes / 2**20,
+            "optimized_size_mb": new_bytes / 2**20,
+            "size_reduction_percent": 100.0 * (1 - new_bytes / max(original_bytes, 1)),
+        }
+        return out, self.report
+
+    def build_engine(self, apply_fn: Callable, variables, sample_input) -> CompiledModel:
+        """AOT-compile the inference function at max_batch_size — the
+        TensorRT engine-build equivalent."""
+        opt_vars, _ = self.optimize_variables(variables)
+        batch = jnp.zeros(
+            (self.max_batch_size, *np.shape(sample_input)[1:]),
+            dtype=jnp.asarray(sample_input).dtype,
+        )
+        compiled = aot_compile(apply_fn, opt_vars, batch)
+        self.report.update(
+            {
+                "compile_seconds": compiled.compile_seconds,
+                "flops": compiled.flops,
+                "bytes_accessed": compiled.bytes_accessed,
+                "max_batch_size": self.max_batch_size,
+            }
+        )
+        return compiled
+
+    def export(self, path: str) -> None:
+        """Persist the optimized weights (int8 stores int8 values+scales)."""
+        from iqc_tpu.train.checkpoint import save_variables
+
+        if self.precision == "int8" and hasattr(self, "_int8"):
+            values, scales = self._int8
+            save_variables(path, {"values": values, "scales": scales}, self.report)
+        else:
+            raise RuntimeError("run optimize_variables/build_engine first")

@@ -112,9 +112,13 @@ SEV_MINOR, SEV_MAJOR, SEV_CRITICAL = 0, 1, 2
 
 
 def classifier_severity(class_ids: jnp.ndarray, confidences: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized class+confidence -> severity {0,1,2} (resent_model.py:237-255)."""
-    is_crit_class = jnp.isin(class_ids, jnp.asarray(CRITICAL_CLASS_IDS))
-    is_major_class = jnp.isin(class_ids, jnp.asarray(MAJOR_CLASS_IDS))
+    """Vectorized class+confidence -> severity {0,1,2} (resent_model.py:237-255).
+
+    Scalar comparisons instead of isin-with-table: no array literal may be
+    embedded in the executable (see ops/jit_utils.py).
+    """
+    is_crit_class = (class_ids == 0) | (class_ids == 2)   # crack, dent
+    is_major_class = (class_ids == 1) | (class_ids == 3)  # scratch, discoloration
     sev = jnp.full(class_ids.shape, SEV_MINOR, dtype=jnp.int32)
     sev = jnp.where(is_major_class & (confidences > 0.8), SEV_MAJOR, sev)
     sev = jnp.where(is_crit_class & (confidences > 0.6), SEV_MAJOR, sev)
@@ -153,8 +157,9 @@ class ResNetClassifier:
         self.class_names = list(class_names or DEFECT_CLASSES)[:num_classes]
         self.module = ResNet50(num_classes=num_classes, dtype=dtype)
         self.variables = self._load_or_init(seed)
+        from iqc_tpu.ops.jit_utils import hoisted_jit
 
-        @jax.jit
+        @hoisted_jit
         def _forward(variables, images):
             x = preprocess_for_classifier(images)
             logits = self.module.apply(variables, x, train=False)
@@ -166,7 +171,7 @@ class ResNetClassifier:
 
         self._forward = _forward
 
-        @jax.jit
+        @hoisted_jit
         def _features(variables, images):
             x = preprocess_for_classifier(images)
             return self.module.apply(variables, x, train=False, return_features=True)

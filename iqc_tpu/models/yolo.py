@@ -257,9 +257,10 @@ class YOLODetector:
         )
         self.variables = self._load_or_init(seed)
         anchors, strides = make_anchors(feature_shapes(self.input_size), STRIDES)
+        self._anchors = jax.device_put(anchors)
+        self._strides = jax.device_put(strides)
 
-        @jax.jit
-        def _forward(variables, images, conf_t, iou_t):
+        def _forward(variables, images, conf_t, iou_t, anchors, strides):
             x = imops.to_float(images)
             if x.shape[1:3] != self.input_size:
                 x = imops.resize_bilinear(x, self.input_size)
@@ -276,7 +277,12 @@ class YOLODetector:
             sev = detection_severity(det.scores, areas)
             return det, areas, sev
 
-        self._forward = _forward
+        from iqc_tpu.ops.jit_utils import hoisted_jit
+
+        self._forward_fn = hoisted_jit(_forward)
+        self._forward = lambda v, im, c, i: self._forward_fn(
+            v, im, c, i, self._anchors, self._strides
+        )
 
     def _load_or_init(self, seed: int):
         from iqc_tpu.train.checkpoint import try_load_variables

@@ -36,10 +36,15 @@ def to_float(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def normalize_imagenet(image: jnp.ndarray) -> jnp.ndarray:
-    """Normalize a float [0,1] RGB image with ImageNet statistics."""
-    mean = jnp.asarray(IMAGENET_MEAN, dtype=image.dtype)
-    std = jnp.asarray(IMAGENET_STD, dtype=image.dtype)
-    return (image - mean) / std
+    """Normalize a float [0,1] RGB image with ImageNet statistics.
+
+    Constants assembled from scalar immediates (stack) rather than a host
+    array literal — embedded array constants are pathological on the
+    tunnel backend (ops/jit_utils.py)."""
+    dt = image.dtype
+    mean = jnp.stack([jnp.asarray(m, dt) for m in IMAGENET_MEAN])
+    inv_std = jnp.stack([jnp.asarray(1.0 / s, dt) for s in IMAGENET_STD])
+    return (image - mean) * inv_std
 
 
 def rgb_to_gray(image: jnp.ndarray) -> jnp.ndarray:
@@ -281,16 +286,13 @@ def adaptive_threshold(
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=16)
-def _disk(radius: int) -> tuple:
-    import numpy as np
-
-    y, xg = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    return tuple(map(tuple, (y * y + xg * xg <= radius * radius).astype("float32")))
-
-
 def _structuring(radius: int) -> jnp.ndarray:
-    return jnp.asarray(_disk(radius), dtype=jnp.float32)
+    """Disk structuring element built in-graph from iota (no host literal
+    embedded in the executable — ops/jit_utils.py)."""
+    n = 2 * radius + 1
+    yy = lax.broadcasted_iota(jnp.int32, (n, n), 0) - radius
+    xx = lax.broadcasted_iota(jnp.int32, (n, n), 1) - radius
+    return (yy * yy + xx * xx <= radius * radius).astype(jnp.float32)
 
 
 def _morph_conv(mask: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
@@ -344,8 +346,11 @@ def fill_holes(mask: jnp.ndarray, iterations: int = 32) -> jnp.ndarray:
 
 def sobel_magnitude(x: jnp.ndarray) -> jnp.ndarray:
     """Gradient magnitude — the edge map used where the reference calls
-    cv2.Canny for confidence scoring (segmentation.py:556)."""
-    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=jnp.float32)
+    cv2.Canny for confidence scoring (segmentation.py:556). Kernel built
+    in-graph (iota) to avoid embedded literals."""
+    xx = lax.broadcasted_iota(jnp.int32, (3, 3), 1) - 1  # column offsets -1,0,1
+    yy = lax.broadcasted_iota(jnp.int32, (3, 3), 0) - 1
+    kx = (xx * (2 - jnp.abs(yy))).astype(jnp.float32)  # sobel x
     gx = _morph_conv(x, kx)
     gy = _morph_conv(x, kx.T)
     return jnp.sqrt(gx * gx + gy * gy)

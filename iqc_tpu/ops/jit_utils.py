@@ -1,0 +1,77 @@
+"""jit with embedded-constant hoisting.
+
+Measured on the axon TPU backend: an executable that EMBEDS array
+constants (anything closed over or materialized from python lists —
+anchor tables, normalization means, morphology kernels) compiles in
+minutes and pays ~27 ms per call re-staging the literals, while the same
+computation with those arrays passed as arguments compiles in <1 s and
+runs in <0.3 ms (.scratch/prof8/prof9 experiments: einsum w/ closed-over
+[64,64]: 301 s compile / 27 ms run; as argument: 0.5 s / 0.22 ms).
+
+``hoisted_jit`` makes that fix generic: trace the function once per input
+signature, pull the jaxpr's ``consts`` out, ``device_put`` them once, and
+jit an equivalent function that takes them as leading arguments. Works for
+any pure function — no plumbing changes at call sites.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import core, tree_util
+
+
+def _signature(args, kwargs) -> Tuple:
+    leaves, treedef = tree_util.tree_flatten((args, kwargs))
+    return (
+        treedef,
+        tuple(
+            (getattr(x, "shape", None), str(getattr(x, "dtype", type(x).__name__)))
+            for x in leaves
+        ),
+    )
+
+
+class HoistedJit:
+    """Callable wrapper: jit(fn) with jaxpr consts hoisted to arguments."""
+
+    def __init__(self, fn: Callable, donate_argnums=()):
+        self._fn = fn
+        self._donate = donate_argnums
+        self._cache: Dict[Tuple, Tuple[Callable, list, Any]] = {}
+        functools.update_wrapper(self, fn)
+
+    def _build(self, args, kwargs):
+        closed, out_shape = jax.make_jaxpr(
+            lambda *a, **k: self._fn(*a, **k), return_shape=True
+        )(*args, **kwargs)
+        consts = [jax.device_put(c) for c in closed.consts]
+        jaxpr = closed.jaxpr
+        out_tree = tree_util.tree_structure(out_shape)
+
+        def run(consts_, flat_args):
+            outs = core.eval_jaxpr(jaxpr, consts_, *flat_args)
+            return tree_util.tree_unflatten(out_tree, outs)
+
+        jitted = jax.jit(run)
+        return jitted, consts
+
+    def __call__(self, *args, **kwargs):
+        key = _signature(args, kwargs)
+        entry = self._cache.get(key)
+        if entry is None:
+            entry = self._build(args, kwargs)
+            self._cache[key] = entry
+        jitted, consts = entry
+        flat_args, _ = tree_util.tree_flatten((args, kwargs))
+        return jitted(consts, flat_args)
+
+
+def hoisted_jit(fn: Optional[Callable] = None, **kwargs) -> Callable:
+    """Drop-in replacement for ``jax.jit`` on the serving hot path."""
+    if fn is None:
+        return lambda f: HoistedJit(f, **kwargs)
+    return HoistedJit(fn, **kwargs)

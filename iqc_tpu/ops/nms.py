@@ -23,6 +23,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from iqc_tpu.ops.boxes import iou_matrix
@@ -54,11 +55,31 @@ def make_anchors(
 
 def dfl_decode(dist_logits: jnp.ndarray, reg_max: int) -> jnp.ndarray:
     """Distribution Focal Loss decode: [..., 4*reg_max] -> expected [..., 4]
-    (l, t, r, b) distances in stride units."""
-    shape = dist_logits.shape[:-1] + (4, reg_max)
-    probs = jax.nn.softmax(dist_logits.reshape(shape), axis=-1)
-    bins = jnp.arange(reg_max, dtype=probs.dtype)
-    return jnp.sum(probs * bins, axis=-1)
+    (l, t, r, b) distances in stride units.
+
+    TPU-first formulation: reshaping to a (4, reg_max) minor dim forces a
+    16-wide lane layout (measured 26 ms / 260 s first-compile for
+    [8,8400,64] on v5e). Instead the per-block softmax expectation is two
+    [.,4R]x[4R,4R] matmuls against block masks — softmax stability comes
+    from subtracting the per-anchor global max, which leaves each block's
+    softmax unchanged."""
+    r = reg_max
+    x = dist_logits.astype(jnp.float32)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)  # [..., 4r]
+    # masks built in-graph from iota (a host literal here would be embedded
+    # in the executable — catastrophic on the tunnel backend, see jit_utils)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (4 * r, 4 * r), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (4 * r, 4 * r), 1)
+    same_block = (ii // r) == (jj // r)
+    den_w = same_block.astype(jnp.float32)                      # [4r,4r]
+    num_w = den_w * (ii % r).astype(jnp.float32)
+    den = jnp.einsum("...i,ij->...j", e, den_w,
+                     preferred_element_type=jnp.float32)
+    num = jnp.einsum("...i,ij->...j", e, num_w,
+                     preferred_element_type=jnp.float32)
+    exp_full = num / jnp.maximum(den, 1e-20)  # [..., 4r]; constant per block
+    return exp_full[..., ::r]                 # block representatives -> [..., 4]
 
 
 def decode_boxes(

@@ -163,7 +163,10 @@ def mask_stats(mask: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     count (mask minus 4-neighbourhood erosion) — contour-free equivalent of
     cv2.arcLength over external contours (segmentation.py:508-525)."""
     area = jnp.sum(mask.astype(jnp.float32))
-    cross = jnp.asarray([[0, 1, 0], [1, 1, 1], [0, 1, 0]], jnp.float32)
+    # 4-neighbourhood cross kernel built in-graph (no embedded literal)
+    yy = lax.broadcasted_iota(jnp.int32, (3, 3), 0) - 1
+    xx = lax.broadcasted_iota(jnp.int32, (3, 3), 1) - 1
+    cross = ((jnp.abs(yy) + jnp.abs(xx)) <= 1).astype(jnp.float32)
     inner = imops._morph_conv(mask.astype(jnp.float32), cross) > 4.5
     boundary = mask & ~inner
     return area, jnp.sum(boundary.astype(jnp.float32))
@@ -183,22 +186,33 @@ def segment_rois(
     (box_size / roi_size) factors used to convert ROI-grid pixel counts to
     source-image units. Invalid slots produce empty masks and zero stats.
     """
-    c2m = jnp.asarray(CLASS_TO_METHOD)
-    adj = jnp.asarray(CLASS_THRESH_ADJUST)
-    is_dark = jnp.asarray(CLASS_IS_DARK)
+    # class tables as scalar-select chains: no array literals embedded in
+    # the executable (ops/jit_utils.py); semantics match CLASS_TO_METHOD /
+    # CLASS_THRESH_ADJUST / CLASS_IS_DARK above
     n_cls = len(CLASS_TO_METHOD)
     cid = jnp.clip(class_ids, 0, n_cls - 1)
-    method = c2m[cid]
+
+    def class_method(k):
+        return jnp.where(k == 2, METHOD_WATERSHED,
+               jnp.where(k == 3, METHOD_THRESHOLD,
+               jnp.where(k == 4, METHOD_REGION_GROWING, METHOD_ADAPTIVE)))
+
+    def class_adjust(k):
+        return jnp.where(k == 2, 1.1,
+               jnp.where(k == 3, 0.8,
+               jnp.where(k == 4, 0.85, 0.9)))
+
+    method = class_method(cid)
 
     def per_roi(roi, k, ok):
-        dark = is_dark[k]
-        m_t, c_t = _threshold_segment(roi, adj[k], dark)
+        dark = k <= 2  # crack/scratch/dent probe dark pixels
+        m_t, c_t = _threshold_segment(roi, class_adjust(k), dark)
         m_a, c_a = _adaptive_segment(roi, dark, block_size)
         m_w, c_w = _watershed_segment(roi, dark)
         m_r, c_r = _region_growing_segment(roi, dark)
         masks = jnp.stack([m_t, m_a, m_w, m_r])
         confs = jnp.stack([c_t, c_a, c_w, c_r])
-        mk = c2m[k]
+        mk = class_method(k)
         mask = masks[mk] & ok
         conf = jnp.where(ok, confs[mk], 0.0)
         return mask, conf

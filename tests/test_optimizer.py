@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iqc_tpu.models.optimizer import (
+    XLAOptimizer,
+    aot_compile,
+    dequantize_int8,
+    quantize_int8,
+    to_bf16,
+)
+
+
+def small_params():
+    rng = np.random.default_rng(0)
+    return {
+        "dense": {"kernel": jnp.asarray(rng.normal(0, 0.5, (64, 64)), jnp.float32),
+                  "bias": jnp.asarray(rng.normal(0, 0.1, (64,)), jnp.float32)},
+        "step": jnp.asarray(3, jnp.int32),
+    }
+
+
+def test_bf16_cast():
+    p = to_bf16(small_params())
+    assert p["dense"]["kernel"].dtype == jnp.bfloat16
+    assert p["step"].dtype == jnp.int32  # ints untouched
+
+
+def test_int8_roundtrip_error_small():
+    params = small_params()
+    values, scales = quantize_int8(params)
+    assert values["dense"]["kernel"].dtype == jnp.int8
+    deq = dequantize_int8(values, scales)
+    k = np.asarray(params["dense"]["kernel"])
+    dk = np.asarray(deq["dense"]["kernel"])
+    # symmetric per-tensor quantization: max error bounded by scale/2
+    scale = np.abs(k).max() / 127
+    assert np.abs(k - dk).max() <= scale * 0.51
+    # ints pass through
+    assert int(deq["step"]) == 3
+
+
+def test_optimizer_size_reduction():
+    opt8 = XLAOptimizer(precision="int8")
+    _, report8 = opt8.optimize_variables(small_params())
+    assert report8["size_reduction_percent"] > 70  # beats reference's 60%
+
+    opt16 = XLAOptimizer(precision="bf16")
+    _, report16 = opt16.optimize_variables(small_params())
+    assert 45 < report16["size_reduction_percent"] <= 51
+
+
+def test_aot_compile_and_cost():
+    def fn(p, x):
+        return jnp.tanh(x @ p["dense"]["kernel"] + p["dense"]["bias"])
+
+    params = small_params()
+    x = jnp.zeros((8, 64), jnp.float32)
+    compiled = aot_compile(fn, params, x)
+    assert compiled.compile_seconds > 0
+    out = compiled(params, x)
+    assert out.shape == (8, 64)
+
+
+def test_build_engine():
+    def apply_fn(p, x):
+        return x @ p["dense"]["kernel"]
+
+    opt = XLAOptimizer(precision="bf16", max_batch_size=4)
+    engine = opt.build_engine(apply_fn, small_params(), jnp.zeros((1, 64)))
+    assert opt.report["max_batch_size"] == 4
+    opt_vars, _ = opt.optimize_variables(small_params())
+    out = engine(opt_vars, jnp.zeros((4, 64), jnp.float32))
+    assert out.shape == (4, 64)
+
+
+def test_int8_export(tmp_path):
+    opt = XLAOptimizer(precision="int8")
+    opt.optimize_variables(small_params())
+    path = str(tmp_path / "model_int8.msgpack")
+    opt.export(path)
+    import os
+
+    assert os.path.exists(path)
+    assert os.path.exists(path + ".json")
+
+
+def test_invalid_precision():
+    with pytest.raises(ValueError):
+        XLAOptimizer(precision="fp8")

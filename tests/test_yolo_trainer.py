@@ -1,0 +1,106 @@
+import numpy as np
+import pytest
+
+from iqc_tpu.data.yolo_dataset import (
+    DetectionLoader,
+    SyntheticDefectDataset,
+    YoloDataset,
+    mixup,
+    mosaic4,
+)
+
+
+def test_synthetic_dataset_labels_consistent():
+    ds = SyntheticDefectDataset(n=8, image_size=128, max_boxes=8)
+    img, boxes, classes, valid = ds.load(0)
+    assert img.shape == (128, 128, 3)
+    for b, v in zip(boxes, valid):
+        if v:
+            assert 0 <= b[0] < b[2] <= 128
+            assert 0 <= b[1] < b[3] <= 128
+    # deterministic per index
+    img2, *_ = ds.load(0)
+    np.testing.assert_array_equal(img, img2)
+
+
+def test_yolo_dataset_txt_labels(tmp_path):
+    from PIL import Image
+
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)).save(
+        img_dir / "a.jpg"
+    )
+    (lbl_dir / "a.txt").write_text("2 0.5 0.5 0.25 0.25\n")
+    ds = YoloDataset(str(img_dir), str(lbl_dir), image_size=128, max_boxes=4)
+    img, boxes, classes, valid = ds.load(0)
+    assert img.shape == (128, 128, 3)
+    assert valid[0] and not valid[1]
+    assert classes[0] == 2
+    np.testing.assert_allclose(boxes[0], [48, 48, 80, 80], atol=1.0)
+
+
+def test_mosaic4_remaps_boxes():
+    ds = SyntheticDefectDataset(n=8, image_size=128, max_boxes=8, seed=3)
+    rng = np.random.default_rng(0)
+    samples = [ds.load(i) for i in range(4)]
+    img, boxes, classes, valid = mosaic4(samples, 128, 16, rng)
+    assert img.shape == (128, 128, 3)
+    for b, v in zip(boxes, valid):
+        if v:
+            assert 0 <= b[0] <= b[2] <= 128.5
+            assert 0 <= b[1] <= b[3] <= 128.5
+
+
+def test_mixup_blends():
+    ds = SyntheticDefectDataset(n=4, image_size=64, max_boxes=4, seed=1)
+    rng = np.random.default_rng(0)
+    a, b = ds.load(0), ds.load(1)
+    img, boxes, classes, valid = mixup(a, b, rng)
+    assert img.shape == (64, 64, 3)
+    assert valid.sum() <= 4
+
+
+def test_detection_loader_batches():
+    ds = SyntheticDefectDataset(n=16, image_size=96, max_boxes=8)
+    loader = DetectionLoader(ds, batch_size=4, mosaic_prob=0.5, mixup_prob=0.2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["images"].shape == (4, 96, 96, 3)
+    assert b["boxes"].shape == (4, 8, 4)
+    assert b["valid"].dtype == bool
+
+
+@pytest.mark.slow
+def test_yolo_trainer_one_epoch_loss_decreases():
+    """End-to-end: a tiny YOLOv8 must reduce its loss on the synthetic
+    corpus within a few epochs (owning the loop the reference delegates)."""
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = SyntheticDefectDataset(n=16, image_size=96, max_boxes=8)
+    loader = DetectionLoader(ds, batch_size=8, mosaic_prob=0.0, mixup_prob=0.0, seed=0)
+    trainer = YOLOTrainer(
+        {
+            "num_classes": 5, "image_size": 96, "batch_size": 8, "epochs": 3,
+            "width_mult": 0.125, "reg_max": 8, "max_boxes": 8,
+            "compute_dtype": "float32", "learning_rate": 0.005,
+            "warmup_epochs": 1, "ema_decay": 0.9,
+            "checkpoint_dir": "/tmp/iqc_yolo_test",
+        }
+    )
+    trainer.build(steps_per_epoch=len(loader))
+    report = trainer.train(loader, val_loader=None, epochs=3)
+    losses = trainer.metrics.history["train_loss"]
+    assert len(losses) == 3
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # learning happens
+
+    # validation path end-to-end (mAP computation over real predictions)
+    val_loader = DetectionLoader(ds, batch_size=8, mosaic_prob=0, shuffle=False)
+    val = trainer.validate(val_loader)
+    assert set(val) >= {"mAP50", "mAP50_95", "precision", "recall"}
+    assert 0.0 <= val["mAP50"] <= 1.0
