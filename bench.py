@@ -93,6 +93,16 @@ def main() -> None:
     per_min = per_sec * 60.0
     p50_ms = elapsed / iters / batch * 1000.0
 
+    # single-image end-to-end latency (p50 target: <20 ms)
+    one = jax.device_put(jnp.asarray(images[:1]))
+    lat = []
+    for _ in range(max(iters * 2, 5)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(yolo_vars, resnet_vars, one, *args))
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    p50_single = lat[len(lat) // 2]
+
     result = {
         "metric": "ensemble_pipeline_throughput",
         "value": round(per_min, 1),
@@ -103,6 +113,7 @@ def main() -> None:
             "iters": iters,
             "images_per_second": round(per_sec, 2),
             "amortized_latency_ms": round(p50_ms, 3),
+            "single_image_p50_ms": round(p50_single, 3),
             "device": str(jax.devices()[0]),
             "dtype": "bfloat16",
             "max_detections": m.max_detections,
