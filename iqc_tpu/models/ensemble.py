@@ -272,6 +272,39 @@ class EnsemblePredictor:
             self._anchors, self._strides,
         )
 
+    def run_sharded(self, images: np.ndarray, mesh_spec=None) -> EnsembleOutputs:
+        """Data-parallel fused-graph call over the device mesh.
+
+        The batch is placed sharded over the mesh's data axis and the
+        weights replicated; GSPMD propagates the sharding through the whole
+        graph (per-image independence => zero collectives, pure ICI-free
+        scale-out — SURVEY.md §2a: batch sharding is the primary axis).
+        Requires batch % mesh.data_size == 0.
+        """
+        from iqc_tpu.parallel.mesh import create_mesh, data_parallel_sharding, replicate
+
+        spec = mesh_spec or getattr(self, "_mesh_spec", None)
+        if spec is None:
+            spec = create_mesh(self.config.mesh)
+            self._mesh_spec = spec
+        if not getattr(self, "_sharded_weights", False):
+            self.yolo_vars = replicate(spec, self.yolo_vars)
+            self.resnet_vars = replicate(spec, self.resnet_vars)
+            self._anchors = replicate(spec, self._anchors)
+            self._strides = replicate(spec, self._strides)
+            self._sharded_weights = True
+        batch = jax.device_put(
+            jnp.asarray(images), data_parallel_sharding(spec, np.ndim(images))
+        )
+        return self._forward(
+            self.yolo_vars, self.resnet_vars, batch,
+            jnp.float32(self.confidence_threshold),
+            jnp.float32(self.nms_threshold),
+            jnp.float32(self.ensemble_weights["yolo"]),
+            jnp.float32(self.ensemble_weights["resnet"]),
+            self._anchors, self._strides,
+        )
+
     # -- reference-parity API ----------------------------------------------------
 
     def predict(self, image: np.ndarray) -> Dict:
