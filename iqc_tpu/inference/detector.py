@@ -57,6 +57,10 @@ class QualityControlDetector:
         self.performance_stats = {
             "total_predictions": 0, "total_time": 0.0, "average_time": 0.0
         }
+        # native lock-free latency histogram (C++ runtime; Python fallback)
+        from iqc_tpu.runtime import LatencyHistogram
+
+        self._latency = LatencyHistogram()
         self._preprocess = self._build_preprocess()
 
     # -- preprocessing (detector.py:226-254 as device ops) -----------------------
@@ -240,6 +244,7 @@ class QualityControlDetector:
             s["total_predictions"] += count
             s["total_time"] += elapsed
             s["average_time"] = s["total_time"] / s["total_predictions"]
+        self._latency.record(elapsed * 1000 / max(count, 1))
 
     def get_performance_stats(self) -> Dict:
         with self._stats_lock:
@@ -252,6 +257,11 @@ class QualityControlDetector:
                         1.0 / stats["average_time"] if stats["average_time"] > 0 else 0.0
                     ),
                     "total_time_minutes": stats["total_time"] / 60,
+                    "latency_percentiles_ms": {
+                        "p50": self._latency.percentile(50),
+                        "p95": self._latency.percentile(95),
+                        "p99": self._latency.percentile(99),
+                    },
                 }
             )
         return stats
