@@ -127,21 +127,30 @@ class QualityControlDetector:
         if rgb is None:
             return {"error": "Invalid image input"}
         try:
-            processed = np.asarray(self._preprocess(jnp.asarray(rgb)[None]))[0]
-            ensemble_results = self.ensemble_predictor.predict(processed)
+            from iqc_tpu.utils.tracing import StageTimes, stage_timer
+
+            stages = StageTimes()
+            with stage_timer(stages, "preprocess"):
+                processed = np.asarray(self._preprocess(jnp.asarray(rgb)[None]))[0]
+            with stage_timer(stages, "ensemble"):
+                ensemble_results = self.ensemble_predictor.predict(processed)
             segmentation_results: Dict = {}
             if include_segmentation and ensemble_results.get("detections"):
-                segmentation_results = self.segmentator.segment_defects(
-                    (processed * 255).astype(np.uint8), ensemble_results["detections"]
+                with stage_timer(stages, "segmentation"):
+                    segmentation_results = self.segmentator.segment_defects(
+                        (processed * 255).astype(np.uint8),
+                        ensemble_results["detections"],
+                    )
+            with stage_timer(stages, "postprocess"):
+                final = self.postprocessor.process_results(
+                    ensemble_results, segmentation_results, processed.shape
                 )
-            final = self.postprocessor.process_results(
-                ensemble_results, segmentation_results, processed.shape
-            )
             elapsed = time.perf_counter() - start
             self._update_stats(elapsed)
             final.update(
                 {
                     "total_inference_time_ms": elapsed * 1000,
+                    "stage_times_ms": stages.as_dict(),
                     "ensemble_confidence": ensemble_results.get("ensemble_confidence", 0.0),
                     "global_classification": ensemble_results.get("global_classification", {}),
                     "processing_pipeline": "fused(yolo+nms+crop-resnet) + segmentation + postprocess",

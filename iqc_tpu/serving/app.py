@@ -190,26 +190,43 @@ class QualityControlSystem:
                 r["anomaly_score"] = self.anomaly_detector.detect(r)
         return results
 
-    # -- worker (app.py:106-121, blocking instead of busy-poll) -------------------
+    # -- worker (app.py:106-121: blocking + request coalescing instead of the
+    # reference's 10ms busy-poll; the id queue is the native C++ MPMC ring
+    # when libiqc_runtime builds, Python condvar fallback otherwise) ----------
 
     def start_processing_worker(self) -> None:
         if self._worker is not None:
             return
         self._stop.clear()
+        from iqc_tpu.runtime import BatchQueue
 
-        def loop():
+        self._native_queue = BatchQueue(capacity=4096)
+        self._pending: Dict[int, Dict] = {}
+        self._pending_lock = threading.Lock()
+        self._next_id = 0
+
+        def pump():
+            """Move requests from the public queue.Queue into the native
+            coalescing queue (keeps the reference's processing_queue API)."""
             while not self._stop.is_set():
                 try:
-                    item = self.processing_queue.get(timeout=0.5)
+                    item = self.processing_queue.get(timeout=0.25)
                 except queue.Empty:
                     continue
-                # aggregate whatever else is waiting into one device batch
-                batch = [item]
-                while len(batch) < self.config.processing.batch_size:
-                    try:
-                        batch.append(self.processing_queue.get_nowait())
-                    except queue.Empty:
-                        break
+                with self._pending_lock:
+                    rid = self._next_id
+                    self._next_id += 1
+                    self._pending[rid] = item
+                self._native_queue.push(rid)
+
+        def loop():
+            max_batch = self.config.processing.batch_size
+            while not self._stop.is_set():
+                ids = self._native_queue.pop_batch(max_batch, timeout_ms=250.0)
+                if not ids:
+                    continue
+                with self._pending_lock:
+                    batch = [self._pending.pop(i) for i in ids]
                 try:
                     results = self.predict_batch([b["image"] for b in batch])
                     for req, res in zip(batch, results):
@@ -221,14 +238,20 @@ class QualityControlSystem:
                             {"error": str(e), "request_id": req.get("request_id")}
                         )
 
+        self._pump = threading.Thread(target=pump, daemon=True, name="qc-pump")
         self._worker = threading.Thread(target=loop, daemon=True, name="qc-worker")
+        self._pump.start()
         self._worker.start()
 
     def stop_processing_worker(self) -> None:
         self._stop.set()
-        if self._worker is not None:
-            self._worker.join(timeout=2.0)
-            self._worker = None
+        if getattr(self, "_native_queue", None) is not None:
+            self._native_queue.close()
+        for attr in ("_worker", "_pump"):
+            t = getattr(self, attr, None)
+            if t is not None:
+                t.join(timeout=2.0)
+                setattr(self, attr, None)
 
     def update_config(self, patch: Dict) -> None:
         self.config = self.config.update(patch)
@@ -726,8 +749,10 @@ def main() -> None:  # pragma: no cover
     parser.add_argument("--metrics-port", type=int, default=None)
     args = parser.parse_args()
 
-    logging.basicConfig(level=logging.INFO)
     system = QualityControlSystem(args.config)
+    from iqc_tpu.utils.logging_config import configure_from_config
+
+    configure_from_config(system.config.extra)
     os.makedirs("logs", exist_ok=True)
     system.initialize_models()
     system.start_processing_worker()

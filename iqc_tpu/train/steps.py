@@ -64,11 +64,13 @@ def make_classifier_train_step(
     module,
     optimizer: optax.GradientTransformation,
     label_smoothing: float = 0.0,
-    class_weights: Optional[jnp.ndarray] = None,
 ):
-    """Returns step(state, images, labels, rng) -> (state, metrics)."""
+    """Returns step(state, images, labels, rng, class_weights) ->
+    (state, metrics). class_weights [C] is a runtime argument (pass
+    jnp.ones for unweighted) — embedded array constants are pathological
+    on the tunnel TPU backend (ops/jit_utils.py)."""
 
-    def step(state: TrainState, images, labels, rng):
+    def step(state: TrainState, images, labels, rng, class_weights):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits, updates = module.apply(
@@ -113,7 +115,7 @@ def shard_train_step(step_fn, spec: MeshSpec):
     batch = NamedSharding(spec.mesh, P(spec.data_axis))
     return jax.jit(
         step_fn,
-        in_shardings=(repl, batch, batch, repl),
+        in_shardings=(repl, batch, batch, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

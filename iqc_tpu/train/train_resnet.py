@@ -186,14 +186,14 @@ class ResNetTrainer:
         state = create_train_state(variables, opt)
         self.state = replicate(self.mesh, state)
 
-        class_weights = None
         if c["use_class_weights"] and hasattr(self, "train_ds"):
-            class_weights = jnp.asarray(
+            self._class_weights = jnp.asarray(
                 compute_class_weights(self.train_ds.labels, c["num_classes"])
             )
-        step = make_classifier_train_step(
-            self.module, opt, c["label_smoothing"], class_weights
-        )
+        else:
+            self._class_weights = jnp.ones((c["num_classes"],), jnp.float32)
+        self._class_weights = replicate(self.mesh, self._class_weights)
+        step = make_classifier_train_step(self.module, opt, c["label_smoothing"])
         self._train_step = shard_train_step(step, self.mesh)
         self._eval_step = jax.jit(make_classifier_eval_step(self.module))
 
@@ -215,7 +215,8 @@ class ResNetTrainer:
         for batch in device_prefetch(batches, sharding):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, m = self._train_step(
-                self.state, batch["images"], batch["labels"], step_rng
+                self.state, batch["images"], batch["labels"], step_rng,
+                self._class_weights,
             )
             losses.append(m["loss"])
             accs.append(m["accuracy"])

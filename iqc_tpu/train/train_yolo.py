@@ -116,12 +116,13 @@ class YOLOTrainer:
         loss_cfg = YoloLossConfig(
             box_gain=c["box_gain"], cls_gain=c["cls_gain"], dfl_gain=c["dfl_gain"]
         )
-        anchors, strides = self.anchors, self.strides
         module = self.module
         reg_max = c["reg_max"]
         ema_decay = c["ema_decay"]
 
-        def step(state, ema, images, boxes, classes, valid):
+        # anchors/strides as runtime args (ops/jit_utils.py: embedded array
+        # constants are pathological on the tunnel TPU backend)
+        def step(state, ema, images, boxes, classes, valid, anchors, strides):
             def loss_fn(params):
                 vars_ = {"params": params, "batch_stats": state.batch_stats}
                 (dist, cls), updates = module.apply(
@@ -150,11 +151,17 @@ class YOLOTrainer:
 
         repl = NamedSharding(self.mesh.mesh, P())
         batch_sh = NamedSharding(self.mesh.mesh, P(self.mesh.data_axis))
-        self._train_step = jax.jit(
+        self._train_step_fn = jax.jit(
             step,
-            in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh),
+            in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh,
+                          repl, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
+        )
+        anchors_r = replicate(self.mesh, self.anchors)
+        strides_r = replicate(self.mesh, self.strides)
+        self._train_step = lambda st, ema, im, bx, cl, vl: self._train_step_fn(
+            st, ema, im, bx, cl, vl, anchors_r, strides_r
         )
 
         from iqc_tpu.ops.jit_utils import hoisted_jit
@@ -171,8 +178,8 @@ class YOLOTrainer:
                 max_detections=100, iou_threshold=iou_t, score_threshold=conf_t,
             )
 
-        self._anchors_dev = jax.device_put(anchors)
-        self._strides_dev = jax.device_put(strides)
+        self._anchors_dev = jax.device_put(self.anchors)
+        self._strides_dev = jax.device_put(self.strides)
         self._predict = lambda p, bs, im, c, i: predict(
             p, bs, im, c, i, self._anchors_dev, self._strides_dev
         )
