@@ -193,15 +193,23 @@ class QualityControlDetector:
             )
             processed = np.asarray(self._preprocess(jnp.asarray(stacked)))
             out = self.ensemble_predictor.run(processed)
+            ens_results = [
+                self.ensemble_predictor.build_result(out, i, processed[i].shape)
+                for i in range(len(images))
+            ]
+            # segmentation for the whole batch in ONE device program
+            if any(e.get("detections") for e in ens_results):
+                segs = self.segmentator.segment_batch(
+                    (processed * 255).astype(np.uint8),
+                    [e.get("detections", []) for e in ens_results],
+                )
+            else:
+                segs = [{} for _ in ens_results]
             results: List[Dict] = []
-            for i in range(len(images)):
-                ens = self.ensemble_predictor.build_result(out, i, processed[i].shape)
-                seg: Dict = {}
-                if ens.get("detections"):
-                    seg = self.segmentator.segment_defects(
-                        (processed[i] * 255).astype(np.uint8), ens["detections"]
-                    )
-                final = self.postprocessor.process_results(ens, seg, processed[i].shape)
+            for i, ens in enumerate(ens_results):
+                final = self.postprocessor.process_results(
+                    ens, segs[i], processed[i].shape
+                )
                 final["batch_index"] = i
                 final["ensemble_confidence"] = ens.get("ensemble_confidence", 0.0)
                 final["global_classification"] = ens.get("global_classification", {})

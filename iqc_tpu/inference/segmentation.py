@@ -55,6 +55,14 @@ class ImageSegmentator:
                 img, boxes, cids, valid, roi_size=self.roi_size
             )
         )
+        # batched variant: one program over [B] images x [capacity] ROIs
+        self._kernel_batch = hoisted_jit(
+            jax.vmap(
+                lambda img, boxes, cids, valid: segment_detections(
+                    img, boxes, cids, valid, roi_size=self.roi_size
+                )
+            )
+        )
 
     # -- core ------------------------------------------------------------------
 
@@ -73,7 +81,6 @@ class ImageSegmentator:
 
         img = imops.to_float(jnp.asarray(image))
         h, w = image.shape[:2]
-        n = min(len(detections), self.capacity)
         boxes = np.zeros((self.capacity, 4), np.float32)
         cids = np.zeros((self.capacity,), np.int32)
         valid = np.zeros((self.capacity,), bool)
@@ -93,16 +100,62 @@ class ImageSegmentator:
             img, jnp.asarray(boxes), jnp.asarray(cids), jnp.asarray(valid)
         )
         out_np = jax.tree_util.tree_map(np.asarray, out)
+        return self._assemble_result(detections, out_np, boxes, (h, w))
 
+    def segment_batch(
+        self, images: np.ndarray, batch_detections: List[List[Dict]]
+    ) -> List[Dict]:
+        """Batched segmentation: all images' ROIs in ONE device program
+        (the reference loops host OpenCV per box per image). images
+        [B,H,W,3]; batch_detections[i] = detection dicts for image i."""
+        b = len(batch_detections)
+        if b == 0:
+            return []
+        h, w = images.shape[1:3]
+        boxes = np.zeros((b, self.capacity, 4), np.float32)
+        cids = np.zeros((b, self.capacity), np.int32)
+        valid = np.zeros((b, self.capacity), bool)
+        for i, dets in enumerate(batch_detections):
+            for j, det in enumerate(dets[: self.capacity]):
+                bb = det["bbox"]
+                boxes[i, j] = (bb["x1"], bb["y1"], bb["x2"], bb["y2"])
+                cls = det.get("class", "")
+                cids[i, j] = (
+                    self.class_names.index(cls) if cls in self.class_names else 3
+                )
+                valid[i, j] = True
+        if not valid.any():
+            return [self.segment_defects(images[i], []) for i in range(b)]
+        out = self._kernel_batch(
+            imops.to_float(jnp.asarray(images)),
+            jnp.asarray(boxes), jnp.asarray(cids), jnp.asarray(valid),
+        )
+        out_np = jax.tree_util.tree_map(np.asarray, out)
+        results = []
+        for i in range(b):
+            results.append(
+                self._assemble_result(
+                    batch_detections[i],
+                    jax.tree_util.tree_map(lambda a: a[i], out_np),
+                    boxes[i], (h, w),
+                )
+            )
+        return results
+
+    def _assemble_result(self, detections, out_np, boxes, shape) -> Dict:
+        """Shared host-side schema assembly for one image."""
+        h, w = shape
+        results = {
+            "segmented_regions": [], "masks": [], "contours": [],
+            "area_analysis": {}, "total_defect_area": 0, "defect_density": 0.0,
+        }
         total_image_area = float(h * w)
-        total_defect_area = 0.0
-        for i in range(n):
+        total = 0.0
+        for i in range(min(len(detections), self.capacity)):
             det = detections[i]
             area = float(out_np.area[i])
-            total_defect_area += area
-            global_mask = self.reconstruct_mask(
-                out_np.masks[i], boxes[i], (h, w)
-            )
+            total += area
+            global_mask = self.reconstruct_mask(out_np.masks[i], boxes[i], (h, w))
             region = {
                 "detection_id": i,
                 "defect_class": det.get("class", "unknown"),
@@ -121,9 +174,8 @@ class ImageSegmentator:
             results["segmented_regions"].append(region)
             results["masks"].append(global_mask)
             results["contours"].extend(region["contours"])
-
-        results["total_defect_area"] = total_defect_area
-        results["defect_density"] = total_defect_area / total_image_area * 100.0
+        results["total_defect_area"] = total
+        results["defect_density"] = total / total_image_area * 100.0
         results["area_analysis"] = self._analyze_defect_areas(
             results["segmented_regions"]
         )

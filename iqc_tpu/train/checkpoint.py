@@ -61,6 +61,20 @@ def load_metadata(path: str) -> Dict:
         return {}
 
 
+def save_train_state(path: str, state, metadata: Optional[Dict] = None) -> None:
+    """Persist a full TrainState (step, params, batch_stats, opt_state) —
+    the reference's full-checkpoint semantics (train_resnet.py:499-519:
+    epoch + model + optimizer + scheduler state)."""
+    save_variables(path, tuple(state), metadata)
+
+
+def load_train_state(path: str, template):
+    """Restore a TrainState saved by save_train_state into the structure
+    of ``template`` (same model/optimizer)."""
+    loaded = load_variables(path, tuple(template))
+    return type(template)(*loaded)
+
+
 class CheckpointManager:
     """Monitor/mode/save-frequency checkpoint policy
     (train/utils.py:178-261 equivalent), storing msgpack weights."""

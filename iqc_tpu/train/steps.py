@@ -30,6 +30,28 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def warmup_cosine_schedule(
+    base_lr: float, warmup_steps: int, total_steps: int, end_fraction: float = 0.01
+):
+    """Warmup + cosine decay from pure scalar ops.
+
+    optax.warmup_cosine_decay_schedule builds a join_schedules boundaries
+    array, which becomes an embedded constant in the jitted update —
+    pathological on the tunnel TPU backend (ops/jit_utils.py)."""
+    end_lr = base_lr * end_fraction
+    w = max(warmup_steps, 1)
+    span = max(total_steps - w, 1)
+
+    def schedule(step):
+        s = jnp.asarray(step, jnp.float32)
+        warm = base_lr * s / w
+        progress = jnp.clip((s - w) / span, 0.0, 1.0)
+        cos = end_lr + (base_lr - end_lr) * 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(s < w, warm, cos)
+
+    return schedule
+
+
 def create_train_state(variables, optimizer: optax.GradientTransformation) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -311,19 +311,35 @@ class ResNetTrainer:
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
 
     def save(self, path: str, epoch: int = 0) -> None:
+        """Weights-only checkpoint (inference handoff)."""
         save_variables(path, self.variables(), {"epoch": epoch, "config": self.config})
+
+    def save_full(self, path: str, epoch: int = 0) -> None:
+        """Full train state: step + params + batch stats + optimizer state
+        (reference resume semantics, train_resnet.py:499-519)."""
+        from iqc_tpu.train.checkpoint import save_train_state
+
+        save_train_state(path, self.state, {"epoch": epoch, "config": self.config})
 
     def resume(self, path: str) -> None:
         if self._train_step is None:
             self.build(steps_per_epoch=max(len(getattr(self, "train_loader", [])) or 1, 1))
-        loaded = load_variables(path, self.variables())
-        self.state = TrainState(
-            step=self.state.step,
-            params=loaded["params"],
-            batch_stats=loaded.get("batch_stats", self.state.batch_stats),
-            opt_state=self._optimizer.init(loaded["params"]),
-        )
+        from iqc_tpu.train.checkpoint import load_train_state
+
         meta_path = path + ".json"
+        try:
+            # full train-state checkpoint: restores optimizer state too
+            self.state = load_train_state(path, self.state)
+        except Exception:
+            # weights-only checkpoint: fresh optimizer (resent_model.py dual
+            # format fallback behaviour)
+            loaded = load_variables(path, self.variables())
+            self.state = TrainState(
+                step=self.state.step,
+                params=loaded["params"],
+                batch_stats=loaded.get("batch_stats", self.state.batch_stats),
+                opt_state=self._optimizer.init(loaded["params"]),
+            )
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 self.start_epoch = int(json.load(f).get("epoch", 0))

@@ -95,9 +95,10 @@ class YOLOTrainer:
         c = self.config
         total_steps = max(c["epochs"] * steps_per_epoch, 1)
         warmup = max(int(c["warmup_epochs"] * steps_per_epoch), 1)
-        schedule = optax.warmup_cosine_decay_schedule(
-            0.0, c["learning_rate"], warmup, total_steps,
-            end_value=c["learning_rate"] * c["final_lr_fraction"],
+        from iqc_tpu.train.steps import warmup_cosine_schedule
+
+        schedule = warmup_cosine_schedule(
+            c["learning_rate"], warmup, total_steps, c["final_lr_fraction"]
         )
         optimizer = optax.chain(
             optax.add_decayed_weights(c["weight_decay"]),

@@ -234,3 +234,42 @@ def test_resnet_trainer_checkpoint_roundtrip(tmp_path):
     w1 = jax.tree_util.tree_leaves(t1.state.params)[0]
     w2 = jax.tree_util.tree_leaves(t2.state.params)[0]
     np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_full_train_state_checkpoint_restores_optimizer(tmp_path):
+    from iqc_tpu.train.train_resnet import ResNetTrainer
+
+    rng = np.random.default_rng(2)
+    ds = ArrayDataset(
+        rng.integers(0, 255, (16, 32, 32, 3), dtype=np.uint8),
+        rng.integers(0, 2, 16).astype(np.int32),
+        ["a", "b"],
+    )
+    cfg = {
+        "num_classes": 2, "image_size": 32, "batch_size": 8, "epochs": 1,
+        "stage_sizes": [1, 1, 1, 1], "compute_dtype": "float32",
+        "balanced_sampling": False, "use_class_weights": False,
+        "checkpoint_dir": str(tmp_path),
+    }
+    t1 = ResNetTrainer(cfg)
+    t1.setup_data(ds)
+    t1.build(steps_per_epoch=2)
+    t1.train_epoch(0)  # advance optimizer state
+    path = str(tmp_path / "full.msgpack")
+    t1.save_full(path, epoch=3)
+
+    t2 = ResNetTrainer(cfg)
+    t2.setup_data(ds)
+    t2.build(steps_per_epoch=2)
+    t2.resume(path)
+    assert t2.start_epoch == 3
+    assert int(t2.state.step) == int(t1.state.step)
+    # optimizer moments restored, not re-initialized
+    m1 = jax.tree_util.tree_leaves(t1.state.opt_state)
+    m2 = jax.tree_util.tree_leaves(t2.state.opt_state)
+    found_nonzero = False
+    for a, b in zip(m1, m2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        if np.asarray(a).size and np.abs(np.asarray(a)).sum() > 0:
+            found_nonzero = True
+    assert found_nonzero
