@@ -14,7 +14,7 @@ The reference imports ``analytics.anomaly_detection.AnomalyDetector``
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

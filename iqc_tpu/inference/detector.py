@@ -19,7 +19,7 @@ from __future__ import annotations
 import logging
 import threading
 import time
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -236,13 +236,35 @@ class QualityControlDetector:
         self,
         image_generator: Iterable[np.ndarray],
         callback: Optional[Callable[[Dict], None]] = None,
+        micro_batch: int = 1,
     ):
+        """Streaming inference (detector.py:182-206). With micro_batch > 1,
+        consecutive frames are coalesced into device batches — the
+        steady-state loop that keeps the chip busy (SURVEY.md §2a
+        "device-resident steady-state loop") while bounding latency to one
+        micro-batch."""
+
         def produce():
-            for i, image in enumerate(image_generator):
-                result = self.predict(image)
-                result["stream_index"] = i
-                result["timestamp"] = time.time()
-                yield result
+            if micro_batch <= 1:
+                for i, image in enumerate(image_generator):
+                    result = self.predict(image)
+                    result["stream_index"] = i
+                    result["timestamp"] = time.time()
+                    yield result
+                return
+            import itertools
+
+            idx = 0
+            it = iter(image_generator)
+            while True:
+                chunk = list(itertools.islice(it, micro_batch))
+                if not chunk:
+                    return
+                for result in self.predict_batch(chunk):
+                    result["stream_index"] = idx
+                    result["timestamp"] = time.time()
+                    idx += 1
+                    yield result
 
         if callback is not None:
             try:

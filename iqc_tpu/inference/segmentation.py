@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iqc_tpu.config import DEFECT_CLASSES, SystemConfig
+from iqc_tpu.config import SystemConfig
 from iqc_tpu.ops import image as imops
 from iqc_tpu.ops.segmentation import (
     METHOD_ADAPTIVE,

@@ -26,13 +26,13 @@ Observable decision rules carried over:
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iqc_tpu.config import DEFECT_CLASSES, SystemConfig
+from iqc_tpu.config import SystemConfig
 from iqc_tpu.models.resnet import ResNet50, classifier_severity, preprocess_for_classifier
 from iqc_tpu.models.yolo import STRIDES, YOLOv8, detection_severity, feature_shapes
 from iqc_tpu.ops import image as imops

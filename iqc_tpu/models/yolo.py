@@ -16,9 +16,8 @@ and normalized-area thresholds, vectorized on device.
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -27,7 +26,7 @@ import numpy as np
 
 from iqc_tpu.config import DEFECT_CLASSES
 from iqc_tpu.ops import image as imops
-from iqc_tpu.ops.nms import Detections, decode_and_nms, make_anchors
+from iqc_tpu.ops.nms import decode_and_nms, make_anchors
 
 STRIDES = (8, 16, 32)
 

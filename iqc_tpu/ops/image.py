@@ -16,8 +16,7 @@ convs (HBM-bandwidth rule: never materialize what you can fuse).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

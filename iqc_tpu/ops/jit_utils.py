@@ -20,7 +20,6 @@ import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 from jax import core, tree_util
 
 

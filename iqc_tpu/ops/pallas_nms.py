@@ -16,7 +16,6 @@ CPU/interpret fallback makes the kernel testable without hardware.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ import json
 import logging
 import os
 import queue
-import tempfile
 import threading
 import time
 import zipfile

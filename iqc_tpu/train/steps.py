@@ -12,8 +12,7 @@ replaces AMP; determinism comes from jax PRNG instead of cudnn flags
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import json
 import logging
 import os
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from iqc_tpu.config import DEFECT_CLASSES, MeshConfig
-from iqc_tpu.data.pipeline import ArrayDataset, DataLoader, ImageFolderDataset, device_prefetch
+from iqc_tpu.data.pipeline import DataLoader, ImageFolderDataset, device_prefetch
 from iqc_tpu.models.resnet import ResNet50
 from iqc_tpu.parallel.mesh import create_mesh, replicate
 from iqc_tpu.train.checkpoint import CheckpointManager, load_variables, save_variables

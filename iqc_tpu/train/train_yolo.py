@@ -16,8 +16,7 @@ import json
 import logging
 import os
 import time
-from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from iqc_tpu.config import MeshConfig
 from iqc_tpu.data.yolo_dataset import DetectionLoader
 from iqc_tpu.models.yolo import STRIDES, YOLOv8, feature_shapes
-from iqc_tpu.ops.nms import batched_nms, decode_boxes, make_anchors
+from iqc_tpu.ops.nms import make_anchors
 from iqc_tpu.parallel.mesh import create_mesh, replicate
 from iqc_tpu.train.checkpoint import save_variables
 from iqc_tpu.train.detection_metrics import evaluate_detections

@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from iqc_tpu.ops.boxes import ciou
-from iqc_tpu.ops.nms import dfl_decode
 
 
 class YoloLossConfig(NamedTuple):

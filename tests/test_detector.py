@@ -129,3 +129,12 @@ def test_concurrent_predict_no_errors(detector, rng):
     for t in threads:
         t.join()
     assert errors == []
+
+
+def test_predict_stream_micro_batched(detector, rng):
+    imgs = (rng.integers(0, 255, (96, 96, 3), dtype=np.uint8) for _ in range(5))
+    results = list(detector.predict_stream(imgs, micro_batch=2))
+    assert len(results) == 5
+    assert [r["stream_index"] for r in results] == list(range(5))
+    # micro-batched results came through the batch path
+    assert "batch_statistics" in results[0]
