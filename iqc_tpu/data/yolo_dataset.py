@@ -229,12 +229,14 @@ class DetectionLoader:
         mixup_prob: float = 0.0,
         shuffle: bool = True,
         seed: int = 0,
+        prefetch: int = 2,
     ):
         self.ds = dataset
         self.batch_size = batch_size
         self.mosaic_prob = mosaic_prob
         self.mixup_prob = mixup_prob
         self.shuffle = shuffle
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -255,7 +257,7 @@ class DetectionLoader:
             sample = mixup(sample, other, rng)
         return sample
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _make_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = np.arange(len(self.ds))
         if self.shuffle:
             self._rng.shuffle(idx)
@@ -268,3 +270,34 @@ class DetectionLoader:
                 "classes": np.stack(classes),
                 "valid": np.stack(valid),
             }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Background-thread producer so host mosaic/IO overlaps device
+        compute (same double-buffering as pipeline.DataLoader)."""
+        if self.prefetch <= 0:
+            yield from self._make_batches()
+            return
+        import queue as _q
+        import threading
+
+        q: _q.Queue = _q.Queue(self.prefetch)
+        _END = object()
+        errors = []
+
+        def producer():
+            try:
+                for batch in self._make_batches():
+                    q.put(batch)
+            except BaseException as e:
+                errors.append(e)
+            finally:
+                q.put(_END)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        if errors:
+            raise errors[0]
