@@ -131,14 +131,15 @@ class QualityControlDetector:
 
             stages = StageTimes()
             with stage_timer(stages, "preprocess"):
-                processed = np.asarray(self._preprocess(jnp.asarray(rgb)[None]))[0]
+                # stays device-resident: no host round trip between stages
+                processed = self._preprocess(jnp.asarray(rgb)[None])[0]
             with stage_timer(stages, "ensemble"):
                 ensemble_results = self.ensemble_predictor.predict(processed)
             segmentation_results: Dict = {}
             if include_segmentation and ensemble_results.get("detections"):
                 with stage_timer(stages, "segmentation"):
                     segmentation_results = self.segmentator.segment_defects(
-                        (processed * 255).astype(np.uint8),
+                        (processed * 255).astype(jnp.uint8),
                         ensemble_results["detections"],
                     )
             with stage_timer(stages, "postprocess"):
@@ -191,16 +192,18 @@ class QualityControlDetector:
                     for r in rgbs
                 ]
             )
-            processed = np.asarray(self._preprocess(jnp.asarray(stacked)))
-            out = self.ensemble_predictor.run(processed)
+            # device-resident through preprocess -> ensemble -> segmentation
+            processed = self._preprocess(jnp.asarray(stacked))
+            out = self.ensemble_predictor.run_host(processed)
+            shape = tuple(processed.shape[1:])
             ens_results = [
-                self.ensemble_predictor.build_result(out, i, processed[i].shape)
+                self.ensemble_predictor.build_result(out, i, shape)
                 for i in range(len(images))
             ]
             # segmentation for the whole batch in ONE device program
             if any(e.get("detections") for e in ens_results):
                 segs = self.segmentator.segment_batch(
-                    (processed * 255).astype(np.uint8),
+                    (processed * 255).astype(jnp.uint8),
                     [e.get("detections", []) for e in ens_results],
                 )
             else:
@@ -208,7 +211,7 @@ class QualityControlDetector:
             results: List[Dict] = []
             for i, ens in enumerate(ens_results):
                 final = self.postprocessor.process_results(
-                    ens, segs[i], processed[i].shape
+                    ens, segs[i], shape
                 )
                 final["batch_index"] = i
                 final["ensemble_confidence"] = ens.get("ensemble_confidence", 0.0)

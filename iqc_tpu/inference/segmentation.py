@@ -50,19 +50,23 @@ class ImageSegmentator:
 
         from iqc_tpu.ops.jit_utils import hoisted_jit
 
-        self._kernel = hoisted_jit(
-            lambda img, boxes, cids, valid: segment_detections(
-                img, boxes, cids, valid, roi_size=self.roi_size
+        def _packed(img, rois):
+            # single packed [N,6] input (boxes | class id | valid) and packed
+            # stat output: host<->device transfers each cost ~40 ms over the
+            # tunnel, so both directions are coalesced
+            boxes = rois[..., 0:4]
+            cids = rois[..., 4].astype(jnp.int32)
+            valid = rois[..., 5] > 0.5
+            out = segment_detections(img, boxes, cids, valid, roi_size=self.roi_size)
+            stats = jnp.stack(
+                [out.area, out.perimeter, out.compactness,
+                 out.confidence, out.method.astype(jnp.float32)], axis=-1
             )
-        )
+            return out.masks, stats
+
+        self._kernel = hoisted_jit(_packed)
         # batched variant: one program over [B] images x [capacity] ROIs
-        self._kernel_batch = hoisted_jit(
-            jax.vmap(
-                lambda img, boxes, cids, valid: segment_detections(
-                    img, boxes, cids, valid, roi_size=self.roi_size
-                )
-            )
-        )
+        self._kernel_batch = hoisted_jit(jax.vmap(_packed))
 
     # -- core ------------------------------------------------------------------
 
@@ -96,11 +100,14 @@ class ImageSegmentator:
             )
             valid[i] = True
 
-        out: SegmentationOutputs = self._kernel(
-            img, jnp.asarray(boxes), jnp.asarray(cids), jnp.asarray(valid)
+        rois = np.concatenate(
+            [boxes, cids[:, None].astype(np.float32), valid[:, None].astype(np.float32)],
+            axis=-1,
         )
-        out_np = jax.tree_util.tree_map(np.asarray, out)
-        return self._assemble_result(detections, out_np, boxes, (h, w))
+        masks, stats = jax.device_get(self._kernel(img, jnp.asarray(rois)))
+        return self._assemble_result(
+            detections, self._unpack(masks, stats), boxes, (h, w)
+        )
 
     def segment_batch(
         self, images: np.ndarray, batch_detections: List[List[Dict]]
@@ -126,21 +133,35 @@ class ImageSegmentator:
                 valid[i, j] = True
         if not valid.any():
             return [self.segment_defects(images[i], []) for i in range(b)]
-        out = self._kernel_batch(
-            imops.to_float(jnp.asarray(images)),
-            jnp.asarray(boxes), jnp.asarray(cids), jnp.asarray(valid),
+        rois = np.concatenate(
+            [boxes, cids[..., None].astype(np.float32), valid[..., None].astype(np.float32)],
+            axis=-1,
         )
-        out_np = jax.tree_util.tree_map(np.asarray, out)
+        masks, stats = jax.device_get(
+            self._kernel_batch(
+                imops.to_float(jnp.asarray(images)), jnp.asarray(rois)
+            )
+        )
         results = []
         for i in range(b):
             results.append(
                 self._assemble_result(
                     batch_detections[i],
-                    jax.tree_util.tree_map(lambda a: a[i], out_np),
+                    self._unpack(masks[i], stats[i]),
                     boxes[i], (h, w),
                 )
             )
         return results
+
+    @staticmethod
+    def _unpack(masks: np.ndarray, stats: np.ndarray) -> SegmentationOutputs:
+        stats = np.asarray(stats)
+        return SegmentationOutputs(
+            masks=np.asarray(masks),
+            area=stats[..., 0], perimeter=stats[..., 1],
+            compactness=stats[..., 2], confidence=stats[..., 3],
+            method=stats[..., 4].astype(np.int32),
+        )
 
     def _assemble_result(self, detections, out_np, boxes, shape) -> Dict:
         """Shared host-side schema assembly for one image."""

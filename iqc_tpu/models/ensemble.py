@@ -164,6 +164,66 @@ def build_ensemble_forward(
     return forward
 
 
+def pack_outputs(out: EnsembleOutputs):
+    """Pack the fused-graph outputs into two dense tensors.
+
+    Device->host transfers pay per-array latency (~40 ms each over the TPU
+    tunnel); 14 leaves => ~600 ms per request. Packed: det [B,K,15] +
+    img [B,4+C] => two transfers. The concat happens inside the jitted
+    graph, so it costs nothing on device.
+    """
+    f32 = lambda x: x.astype(jnp.float32)
+    det = jnp.concatenate(
+        [
+            f32(out.boxes),                      # 0:4
+            f32(out.yolo_scores)[..., None],     # 4
+            f32(out.classes)[..., None],         # 5
+            f32(out.valid)[..., None],           # 6
+            f32(out.areas)[..., None],           # 7
+            f32(out.yolo_severity)[..., None],   # 8
+            f32(out.crop_class)[..., None],      # 9
+            f32(out.crop_conf)[..., None],       # 10
+            f32(out.crop_severity)[..., None],   # 11
+            f32(out.crop_classified)[..., None], # 12
+            f32(out.ensemble_conf)[..., None],   # 13
+            f32(out.final_severity)[..., None],  # 14
+        ],
+        axis=-1,
+    )
+    img = jnp.concatenate(
+        [
+            f32(out.severity_counts),            # 0:3
+            f32(out.global_probs),               # 3:3+C
+            f32(out.image_confidence)[..., None],# -1
+        ],
+        axis=-1,
+    )
+    return det, img
+
+
+def unpack_outputs(det: np.ndarray, img: np.ndarray) -> EnsembleOutputs:
+    """Host-side inverse of pack_outputs (numpy in, numpy out)."""
+    det = np.asarray(det)
+    img = np.asarray(img)
+    return EnsembleOutputs(
+        boxes=det[..., 0:4],
+        yolo_scores=det[..., 4],
+        classes=det[..., 5].astype(np.int32),
+        valid=det[..., 6] > 0.5,
+        areas=det[..., 7],
+        yolo_severity=det[..., 8].astype(np.int32),
+        crop_class=det[..., 9].astype(np.int32),
+        crop_conf=det[..., 10],
+        crop_severity=det[..., 11].astype(np.int32),
+        crop_classified=det[..., 12] > 0.5,
+        ensemble_conf=det[..., 13],
+        final_severity=det[..., 14].astype(np.int32),
+        severity_counts=img[..., 0:3].astype(np.int32),
+        global_probs=img[..., 3:-1],
+        image_confidence=img[..., -1],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side result assembly (reference JSON schema)
 # ---------------------------------------------------------------------------
@@ -245,6 +305,9 @@ class EnsemblePredictor:
         from iqc_tpu.ops.jit_utils import hoisted_jit
 
         self._forward = hoisted_jit(fwd)
+        self._forward_packed = hoisted_jit(
+            lambda *a: pack_outputs(fwd(*a))
+        )
 
     @staticmethod
     def _init_or_load(module, dummy_shape, path):
@@ -261,16 +324,35 @@ class EnsemblePredictor:
 
     # -- device call -----------------------------------------------------------
 
-    def run(self, images: np.ndarray) -> EnsembleOutputs:
-        """Raw fused-graph call on a [B,H,W,3] batch (device arrays out)."""
-        return self._forward(
-            self.yolo_vars, self.resnet_vars, jnp.asarray(images),
-            jnp.float32(self.confidence_threshold),
-            jnp.float32(self.nms_threshold),
-            jnp.float32(self.ensemble_weights["yolo"]),
-            jnp.float32(self.ensemble_weights["resnet"]),
-            self._anchors, self._strides,
+    def _args(self, images):
+        # scalar thresholds/weights cached as device arrays: every fresh
+        # host->device upload costs a tunnel round trip (~30 ms)
+        key = (
+            self.confidence_threshold, self.nms_threshold,
+            self.ensemble_weights["yolo"], self.ensemble_weights["resnet"],
         )
+        cached = getattr(self, "_scalar_cache", None)
+        if cached is None or cached[0] != key:
+            vals = tuple(jax.device_put(jnp.float32(v)) for v in key)
+            cached = (key, vals)
+            self._scalar_cache = cached
+        conf_t, iou_t, w_y, w_r = cached[1]
+        return (
+            self.yolo_vars, self.resnet_vars, jnp.asarray(images),
+            conf_t, iou_t, w_y, w_r, self._anchors, self._strides,
+        )
+
+    def run(self, images) -> EnsembleOutputs:
+        """Raw fused-graph call on a [B,H,W,3] batch (device arrays out).
+        Accepts numpy (uploaded once) or device arrays (zero-copy)."""
+        return self._forward(*self._args(images))
+
+    def run_host(self, images) -> EnsembleOutputs:
+        """Fused graph + packed two-transfer device->host fetch: the serving
+        hot path (per-leaf fetches cost ~40 ms each over the tunnel)."""
+        det, img = self._forward_packed(*self._args(images))
+        det, img = jax.device_get((det, img))
+        return unpack_outputs(det, img)
 
     def run_sharded(self, images: np.ndarray, mesh_spec=None) -> EnsembleOutputs:
         """Data-parallel fused-graph call over the device mesh.
@@ -307,9 +389,11 @@ class EnsemblePredictor:
 
     # -- reference-parity API ----------------------------------------------------
 
-    def predict(self, image: np.ndarray) -> Dict:
+    def predict(self, image) -> Dict:
+        """image: [H,W,3] numpy OR device array (device arrays stay
+        resident — no host round trip)."""
         t0 = time.perf_counter()
-        out = self.run(np.asarray(image)[None])
+        out = self.run_host(jnp.asarray(image)[None])
         result = self.build_result(out, 0, image.shape)
         result["total_inference_time_ms"] = (time.perf_counter() - t0) * 1000
         return result
@@ -317,7 +401,7 @@ class EnsemblePredictor:
     def batch_predict(self, images: List[np.ndarray]) -> List[Dict]:
         t0 = time.perf_counter()
         batch = np.stack(images)
-        out = self.run(batch)
+        out = self.run_host(batch)
         dt = (time.perf_counter() - t0) * 1000
         results = []
         for i in range(len(images)):
