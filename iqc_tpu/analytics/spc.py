@@ -208,7 +208,13 @@ class SPCAnalyzer:
             value = metrics.get(key_map.get(name, name))
             if value is None:
                 continue
-            if value > lim["upper_control_limit"] or value < lim["lower_control_limit"]:
+            # tolerance guards the degenerate zero-sigma case (constant
+            # series): mean(0.9 x20) is 1 ulp below 0.9 in float64
+            eps = 1e-9 * max(abs(lim["center_line"]), 1.0)
+            if (
+                value > lim["upper_control_limit"] + eps
+                or value < lim["lower_control_limit"] - eps
+            ):
                 status["in_control"] = False
                 status["violations"].append(
                     {
@@ -217,7 +223,10 @@ class SPCAnalyzer:
                         "severity": "critical",
                     }
                 )
-            elif value > lim["upper_warning_limit"] or value < lim["lower_warning_limit"]:
+            elif (
+                value > lim["upper_warning_limit"] + eps
+                or value < lim["lower_warning_limit"] - eps
+            ):
                 status["warnings"].append(
                     {
                         "metric": name, "value": value,
@@ -234,14 +243,17 @@ class SPCAnalyzer:
     def check_run_rules(self, lookback: int = 20) -> List[Dict]:
         """Vectorized Western-Electric run rules over the last N defect
         counts. The reference implements rules 2 & 3 of its declared 8
-        (sec_analysis.py:273-313); we implement 2, 3, 4 and 5 and keep the
-        full catalogue declared."""
+        (sec_analysis.py:273-313); all 8 declared rules are implemented
+        here."""
         n = len(self.series["defect_count"])
         if n < 9:
             return []
         data = self.series["defect_count"].values()[-lookback:]
         center = float(np.mean(data))
-        sigma = float(np.std(data)) or 1e-9
+        sigma = float(np.std(data))
+        # sigma-based rules (5-8) are meaningless on (near-)constant data:
+        # a perfectly stable process must not flag "stratification"
+        sigma_ok = sigma > 1e-6
         found: List[Dict] = []
 
         def windows(arr: np.ndarray, k: int) -> np.ndarray:
@@ -264,6 +276,8 @@ class SPCAnalyzer:
             alternating = np.all(wd14[:, 1:] * wd14[:, :-1] < 0, axis=1)
             if alternating.any():
                 found.append({"rule": "rule4", "description": SPC_RULES["rule4"], "severity": "minor"})
+        if not sigma_ok:
+            return found
         # rule 5: 2 of 3 consecutive beyond 2-sigma (same side)
         w3 = windows(data, 3)
         if w3.size:
@@ -271,6 +285,21 @@ class SPCAnalyzer:
             lo = (w3 < center - 2 * sigma).sum(axis=1) >= 2
             if (hi | lo).any():
                 found.append({"rule": "rule5", "description": SPC_RULES["rule5"], "severity": "major"})
+        # rule 6: 4 of 5 consecutive beyond 1-sigma (same side)
+        w5 = windows(data, 5)
+        if w5.size:
+            hi = (w5 > center + sigma).sum(axis=1) >= 4
+            lo = (w5 < center - sigma).sum(axis=1) >= 4
+            if (hi | lo).any():
+                found.append({"rule": "rule6", "description": SPC_RULES["rule6"], "severity": "major"})
+        # rule 7: 15 consecutive within 1-sigma (stratification)
+        w15 = windows(data, 15)
+        if w15.size and np.all(np.abs(w15 - center) < sigma, axis=1).any():
+            found.append({"rule": "rule7", "description": SPC_RULES["rule7"], "severity": "minor"})
+        # rule 8: 8 consecutive beyond 1-sigma (either side, mixture)
+        w8 = windows(data, 8)
+        if w8.size and np.all(np.abs(w8 - center) > sigma, axis=1).any():
+            found.append({"rule": "rule8", "description": SPC_RULES["rule8"], "severity": "major"})
         return found
 
     # -- capability (sec_analysis.py:315-380) --------------------------------------------

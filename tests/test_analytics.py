@@ -132,3 +132,23 @@ def test_anomaly_reset():
     ad.detect(results_with(2))
     ad.reset()
     assert ad.count == 0 and ad.history == []
+
+
+def test_run_rule_stratification_and_mixture():
+    # rule 7: 15 consecutive points hugging the centerline of a noisy series
+    spc = SPCAnalyzer(window_size=50)
+    vals = [0, 8] * 3 + [4] * 15  # volatile start, then stratified
+    out = None
+    for v in vals:
+        out = spc.analyze(results_with(v))
+    rules = {r["rule"] for r in out["control_status"]["rule_violations"]}
+    assert "rule7" in rules
+
+
+def test_run_rules_quiet_on_constant_process():
+    spc = SPCAnalyzer(window_size=50)
+    out = None
+    for _ in range(20):
+        out = spc.analyze(results_with(2))
+    assert out["control_status"]["rule_violations"] == []
+    assert out["control_status"]["in_control"]

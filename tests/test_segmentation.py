@@ -109,3 +109,15 @@ def test_mask_stats_square():
     assert float(area) == 256.0
     # 16x16 square boundary = 60 pixels
     assert float(perim) == pytest.approx(60, abs=4)
+
+
+def test_region_growing_tight_box(segmentator):
+    """A detection box tight around the blob (ROI mostly defect) must still
+    segment it — the reference's whole-ROI seed statistics yield an empty
+    mask here; border-ring statistics fix it."""
+    img, blob = bright_blob_image(cx=80, cy=80, r=20)
+    det = make_detection(58, 58, 102, 102, cls="contamination")  # tight box
+    out = segmentator.segment_defects(img, [det])
+    region = out["segmented_regions"][0]
+    assert region["segmentation_method"] == "region_growing"
+    assert region["area_pixels"] > 300
