@@ -20,7 +20,7 @@ BASELINE_IMG_PER_MIN = 500.0
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 
