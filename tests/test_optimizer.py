@@ -90,3 +90,45 @@ def test_int8_export(tmp_path):
 def test_invalid_precision():
     with pytest.raises(ValueError):
         XLAOptimizer(precision="fp8")
+
+
+def test_int8_ensemble_end_to_end(tiny_config):
+    """Weight-only int8 quantization through the REAL fused pipeline: the
+    quantized ensemble must reproduce fp32 detections (the TensorRT-
+    equivalent accuracy check the reference never ships)."""
+    import numpy as np
+
+    from iqc_tpu.models.ensemble import EnsemblePredictor
+
+    pred = EnsemblePredictor(config=tiny_config)
+    pred.confidence_threshold = 0.004
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+
+    fp32 = pred.run_host(img[None])
+
+    opt = XLAOptimizer(precision="int8")
+    pred.yolo_vars, report_y = opt.optimize_variables(pred.yolo_vars)
+    pred.resnet_vars, report_r = XLAOptimizer(precision="int8").optimize_variables(
+        pred.resnet_vars
+    )
+    assert report_y["size_reduction_percent"] > 70
+    q = pred.run_host(img[None])
+
+    v_fp, v_q = fp32.valid[0], q.valid[0]
+    # same number of surviving detections (+-1 for threshold-straddlers)
+    assert abs(int(v_fp.sum()) - int(v_q.sum())) <= 1
+    n = min(int(v_fp.sum()), int(v_q.sum()))
+    if n:
+        # leading boxes overlap heavily and classes agree
+        from iqc_tpu.inference.postprocess import iou_matrix_np
+
+        iou = iou_matrix_np(
+            np.concatenate([fp32.boxes[0][:n], q.boxes[0][:n]])
+        )[:n, n:]
+        assert np.diag(iou).min() > 0.8
+        assert (fp32.classes[0][:n] == q.classes[0][:n]).mean() >= 0.99
+    # global classification distribution close
+    np.testing.assert_allclose(
+        fp32.global_probs[0], q.global_probs[0], atol=0.08
+    )
