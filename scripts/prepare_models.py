@@ -190,6 +190,54 @@ def cmd_info(args) -> None:
     print(f"wrote {path}")
 
 
+def cmd_verify(args) -> None:
+    """Load a checkpoint and run a real forward pass — the reference's
+    torch.load verification (download_models.py:86-105 equivalent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqc_tpu.train.checkpoint import load_metadata, load_variables
+
+    meta = load_metadata(args.input)
+    train_cfg = meta.get("config") or {}
+    arch = meta.get("arch") or meta.get("variant") or args.arch
+    if arch is None and "width_mult" in train_cfg:
+        arch = "yolo(trained)"  # YOLOTrainer.save metadata carries its config
+    if arch and arch.startswith("yolo"):
+        from iqc_tpu.models.yolo import YOLOv8
+
+        w, d = YOLO_VARIANTS.get(
+            arch,
+            (
+                train_cfg.get("width_mult", meta.get("width", 0.25)),
+                train_cfg.get("depth_mult", meta.get("depth", 0.334)),
+            ),
+        )
+        module = YOLOv8(
+            num_classes=train_cfg.get("num_classes", args.num_classes),
+            width_mult=w, depth_mult=d,
+            reg_max=train_cfg.get("reg_max", 16),
+        )
+        size = train_cfg.get("image_size", args.image_size)
+        dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    else:
+        from iqc_tpu.models.resnet import ResNet50
+
+        module = ResNet50(num_classes=args.num_classes)
+        dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    template = module.init(jax.random.PRNGKey(0), dummy, train=False)
+    variables = load_variables(args.input, template)
+    out = module.apply(variables, dummy, train=False)
+    leaves = jax.tree_util.tree_leaves(out)
+    import numpy as np
+
+    ok = all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    print(f"{args.input}: arch={arch or 'resnet50'} forward "
+          f"{'OK (finite outputs)' if ok else 'FAILED (non-finite outputs)'}")
+    if not ok:
+        raise SystemExit(1)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -213,6 +261,14 @@ def main() -> None:
     p_info.add_argument("--output-dir", default="models")
     p_info.add_argument("--image-size", type=int, default=640)
     p_info.set_defaults(fn=cmd_info)
+
+    p_ver = sub.add_parser("verify")
+    p_ver.add_argument("--input", required=True)
+    p_ver.add_argument("--arch", default=None,
+                       help="yolov8n/s/m or resnet50 (default: from metadata)")
+    p_ver.add_argument("--num-classes", type=int, default=5)
+    p_ver.add_argument("--image-size", type=int, default=320)
+    p_ver.set_defaults(fn=cmd_verify)
 
     args = parser.parse_args()
     args.fn(args)
