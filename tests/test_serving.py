@@ -300,3 +300,15 @@ def test_demo_mode_degradation(tiny_config):
     body, ctype = multipart([("image", "t.jpg", jpeg_bytes())])
     status, data = wsgi_call(app, "POST", "/api/detect", body, ctype)
     assert status == 500 and "demo mode" in data["error"]
+
+
+def test_models_benchmark_endpoint(app):
+    payload = json.dumps({"num_images": 2, "iterations": 1, "image_size": [96, 96]})
+    status, data = wsgi_call(
+        app, "POST", "/api/models/benchmark", payload.encode(), "application/json"
+    )
+    assert status == 200
+    br = data["benchmark_results"]
+    assert br["total_images"] == 2
+    assert br["timing_statistics"]["p99_ms"] >= br["timing_statistics"]["median_ms"]
+    assert data["test_parameters"]["num_images"] == 2
