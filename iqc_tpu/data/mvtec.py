@@ -1,0 +1,170 @@
+"""MVTec-AD-format dataset importer.
+
+Real industrial defect datasets (MVTec AD and its layout-compatible
+derivatives) ship as::
+
+    <category>/
+      train/good/*.png
+      test/good/*.png
+      test/<defect_type>/*.png
+      ground_truth/<defect_type>/<stem>_mask.png
+
+The reference has no real-dataset support (its loaders assume pre-labelled
+torchvision ImageFolder / Ultralytics txt layouts). This importer derives
+both task formats:
+
+- ``MVTecClassificationDataset``: defect-type folders -> class labels
+  (ImageFolder-equivalent for the ResNet trainer).
+- ``MVTecDetectionDataset``: bounding boxes extracted from the ground-truth
+  masks via connected components -> YoloDataset-compatible samples for the
+  native YOLO trainer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from iqc_tpu.data.pipeline import IMAGE_EXTENSIONS
+
+
+def _list_images(directory: str) -> List[str]:
+    if not os.path.isdir(directory):
+        return []
+    return [
+        os.path.join(directory, f)
+        for f in sorted(os.listdir(directory))
+        if f.lower().endswith(IMAGE_EXTENSIONS)
+    ]
+
+
+def mask_to_boxes(mask: np.ndarray, min_area: int = 16) -> List[Tuple[int, int, int, int]]:
+    """Ground-truth mask -> xyxy boxes, one per connected defect region."""
+    from scipy import ndimage as ndi
+
+    labels, count = ndi.label(np.asarray(mask) > 0)
+    boxes = []
+    for sl in ndi.find_objects(labels):
+        if sl is None:
+            continue
+        y, x = sl
+        if (y.stop - y.start) * (x.stop - x.start) < min_area:
+            continue
+        boxes.append((x.start, y.start, x.stop, y.stop))
+    return boxes
+
+
+class MVTecDetectionDataset:
+    """test/<defect_type> images + ground_truth masks -> detection samples.
+
+    YoloDataset-compatible: ``load(i) -> (image uint8 [S,S,3],
+    boxes [max,4] xyxy px, classes [max], valid [max])``.
+    """
+
+    def __init__(
+        self,
+        category_dir: str,
+        image_size: int = 640,
+        max_boxes: int = 16,
+        include_good: bool = True,
+        class_names: Optional[Sequence[str]] = None,
+    ):
+        self.category_dir = category_dir
+        self.image_size = image_size
+        self.max_boxes = max_boxes
+        test_dir = os.path.join(category_dir, "test")
+        gt_dir = os.path.join(category_dir, "ground_truth")
+        if not os.path.isdir(test_dir):
+            raise FileNotFoundError(f"no test/ split under {category_dir}")
+
+        defect_types = sorted(
+            d for d in os.listdir(test_dir)
+            if os.path.isdir(os.path.join(test_dir, d)) and d != "good"
+        )
+        self.class_names = list(class_names or defect_types)
+        self.samples: List[Tuple[str, Optional[str], int]] = []
+        for dt in defect_types:
+            cls = self.class_names.index(dt) if dt in self.class_names else 0
+            for img_path in _list_images(os.path.join(test_dir, dt)):
+                stem = os.path.splitext(os.path.basename(img_path))[0]
+                mask_path = os.path.join(gt_dir, dt, f"{stem}_mask.png")
+                self.samples.append(
+                    (img_path, mask_path if os.path.exists(mask_path) else None, cls)
+                )
+        if include_good:
+            for img_path in _list_images(os.path.join(test_dir, "good")):
+                self.samples.append((img_path, None, -1))
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load(self, index: int):
+        from PIL import Image
+
+        img_path, mask_path, cls = self.samples[index]
+        s = self.image_size
+        with Image.open(img_path) as im:
+            orig_w, orig_h = im.size
+            image = np.asarray(im.convert("RGB").resize((s, s)), dtype=np.uint8)
+
+        boxes = np.zeros((self.max_boxes, 4), np.float32)
+        classes = np.zeros((self.max_boxes,), np.int32)
+        valid = np.zeros((self.max_boxes,), bool)
+        if mask_path is not None:
+            with Image.open(mask_path) as m:
+                mask = np.asarray(m.convert("L"))
+            sx, sy = s / orig_w, s / orig_h
+            for i, (x1, y1, x2, y2) in enumerate(mask_to_boxes(mask)[: self.max_boxes]):
+                boxes[i] = (x1 * sx, y1 * sy, x2 * sx, y2 * sy)
+                classes[i] = max(cls, 0)
+                valid[i] = True
+        return image, boxes, classes, valid
+
+
+class MVTecClassificationDataset:
+    """test/ defect-type folders as class labels (ImageFolder-equivalent;
+    plugs into the ResNet trainer's DataLoader).
+
+    good_label: include test/good as its own class when not None.
+    """
+
+    def __init__(
+        self,
+        category_dir: str,
+        image_size: Tuple[int, int] = (224, 224),
+        good_label: Optional[str] = "good",
+    ):
+        test_dir = os.path.join(category_dir, "test")
+        if not os.path.isdir(test_dir):
+            raise FileNotFoundError(f"no test/ split under {category_dir}")
+        self.image_size = tuple(image_size)
+        dirs = sorted(
+            d for d in os.listdir(test_dir) if os.path.isdir(os.path.join(test_dir, d))
+        )
+        if good_label is None:
+            dirs = [d for d in dirs if d != "good"]
+        self.class_names = dirs
+        self.samples: List[Tuple[str, int]] = []
+        for idx, d in enumerate(dirs):
+            for p in _list_images(os.path.join(test_dir, d)):
+                self.samples.append((p, idx))
+        self.labels = np.asarray([l for _, l in self.samples], dtype=np.int32)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load(self, index: int):
+        from PIL import Image
+
+        path, label = self.samples[index]
+        with Image.open(path) as im:
+            img = np.asarray(
+                im.convert("RGB").resize((self.image_size[1], self.image_size[0])),
+                dtype=np.uint8,
+            )
+        return img, label
+
+    def class_counts(self) -> np.ndarray:
+        return np.bincount(self.labels, minlength=len(self.class_names))

@@ -1,0 +1,96 @@
+import os
+
+import numpy as np
+import pytest
+
+from iqc_tpu.data.mvtec import (
+    MVTecClassificationDataset,
+    MVTecDetectionDataset,
+    mask_to_boxes,
+)
+
+
+@pytest.fixture(scope="module")
+def mvtec_tree(tmp_path_factory):
+    """Synthesize a mini MVTec-AD category tree."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("mvtec") / "metal_plate"
+    rng = np.random.default_rng(0)
+
+    def save(path, arr):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(arr).save(path)
+
+    # train/good + test/good
+    for split in ("train/good", "test/good"):
+        for i in range(2):
+            save(str(root / split / f"{i:03d}.png"),
+                 rng.integers(100, 160, (128, 128, 3), dtype=np.uint8))
+
+    # two defect types with ground-truth masks
+    for dt, (cy, cx) in (("scratch", (40, 60)), ("hole", (90, 30))):
+        for i in range(2):
+            img = rng.integers(100, 160, (128, 128, 3), dtype=np.uint8)
+            mask = np.zeros((128, 128), np.uint8)
+            mask[cy : cy + 20, cx : cx + 30] = 255
+            save(str(root / "test" / dt / f"{i:03d}.png"), img)
+            save(str(root / "ground_truth" / dt / f"{i:03d}_mask.png"), mask)
+    return str(root)
+
+
+def test_mask_to_boxes():
+    mask = np.zeros((64, 64), np.uint8)
+    mask[10:20, 10:30] = 255
+    mask[40:50, 40:50] = 255
+    mask[0, 0] = 255  # below min_area
+    boxes = mask_to_boxes(mask)
+    assert (10, 10, 30, 20) in boxes
+    assert (40, 40, 50, 50) in boxes
+    assert len(boxes) == 2
+
+
+def test_detection_dataset(mvtec_tree):
+    ds = MVTecDetectionDataset(mvtec_tree, image_size=256, max_boxes=4)
+    assert ds.class_names == ["hole", "scratch"]
+    assert len(ds) == 6  # 4 defect + 2 good
+    img, boxes, classes, valid = ds.load(0)
+    assert img.shape == (256, 256, 3)
+    assert valid[0] and not valid[1]
+    # box scaled 128 -> 256 (x2)
+    x1, y1, x2, y2 = boxes[0]
+    assert x2 - x1 == pytest.approx(60, abs=3)
+    assert y2 - y1 == pytest.approx(40, abs=3)
+    # good sample has no boxes
+    good = [i for i, (_, m, c) in enumerate(ds.samples) if c == -1][0]
+    _, _, _, v = ds.load(good)
+    assert not v.any()
+
+
+def test_detection_dataset_feeds_loader(mvtec_tree):
+    from iqc_tpu.data.yolo_dataset import DetectionLoader
+
+    ds = MVTecDetectionDataset(mvtec_tree, image_size=128, max_boxes=4)
+    loader = DetectionLoader(ds, batch_size=2, mosaic_prob=0.5, seed=0)
+    batch = next(iter(loader))
+    assert batch["images"].shape == (2, 128, 128, 3)
+    assert batch["boxes"].shape == (2, 4, 4)
+
+
+def test_classification_dataset(mvtec_tree):
+    ds = MVTecClassificationDataset(mvtec_tree, image_size=(64, 64))
+    assert ds.class_names == ["good", "hole", "scratch"]
+    assert len(ds) == 6
+    img, label = ds.load(0)
+    assert img.shape == (64, 64, 3)
+    assert 0 <= label < 3
+    assert ds.class_counts().sum() == 6
+
+    no_good = MVTecClassificationDataset(mvtec_tree, good_label=None)
+    assert no_good.class_names == ["hole", "scratch"]
+    assert len(no_good) == 4
+
+
+def test_missing_split_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        MVTecDetectionDataset(str(tmp_path))
