@@ -52,6 +52,9 @@ class ModelConfig:
     # yolo_config.yaml:97); number of survivors that get per-crop ResNet.
     max_detections: int = 300
     max_classified: int = 32
+    # survivors segmented inside the fused graph (BASELINE config #5)
+    max_segmented: int = 16
+    seg_roi_size: int = 128
     reg_max: int = 16
     width_mult: float = 0.25   # YOLOv8n
     depth_mult: float = 0.334  # YOLOv8n

@@ -133,15 +133,28 @@ class QualityControlDetector:
             with stage_timer(stages, "preprocess"):
                 # stays device-resident: no host round trip between stages
                 processed = self._preprocess(jnp.asarray(rgb)[None])[0]
-            with stage_timer(stages, "ensemble"):
-                ensemble_results = self.ensemble_predictor.predict(processed)
             segmentation_results: Dict = {}
-            if include_segmentation and ensemble_results.get("detections"):
-                with stage_timer(stages, "segmentation"):
-                    segmentation_results = self.segmentator.segment_defects(
-                        (processed * 255).astype(jnp.uint8),
-                        ensemble_results["detections"],
+            if include_segmentation:
+                # ONE device program: detection + crop classification +
+                # fusion + segmentation (BASELINE config #5)
+                with stage_timer(stages, "ensemble+segmentation"):
+                    out, masks, seg_stats = self.ensemble_predictor.run_full_host(
+                        processed[None]
                     )
+                    shape = tuple(processed.shape)
+                    ensemble_results = self.ensemble_predictor.build_result(
+                        out, 0, shape
+                    )
+                    if ensemble_results.get("detections"):
+                        s = masks.shape[1]
+                        segmentation_results = self.segmentator._assemble_result(
+                            ensemble_results["detections"][:s],
+                            self.segmentator._unpack(masks[0], seg_stats[0]),
+                            out.boxes[0][:s], shape[:2],
+                        )
+            else:
+                with stage_timer(stages, "ensemble"):
+                    ensemble_results = self.ensemble_predictor.predict(processed)
             with stage_timer(stages, "postprocess"):
                 final = self.postprocessor.process_results(
                     ensemble_results, segmentation_results, processed.shape
@@ -192,22 +205,27 @@ class QualityControlDetector:
                     for r in rgbs
                 ]
             )
-            # device-resident through preprocess -> ensemble -> segmentation
+            # ONE device program for the whole batch: preprocess stays
+            # device-resident, detection + crop classification + fusion +
+            # segmentation fused (BASELINE config #5)
             processed = self._preprocess(jnp.asarray(stacked))
-            out = self.ensemble_predictor.run_host(processed)
+            out, masks, seg_stats = self.ensemble_predictor.run_full_host(processed)
             shape = tuple(processed.shape[1:])
             ens_results = [
                 self.ensemble_predictor.build_result(out, i, shape)
                 for i in range(len(images))
             ]
-            # segmentation for the whole batch in ONE device program
-            if any(e.get("detections") for e in ens_results):
-                segs = self.segmentator.segment_batch(
-                    (processed * 255).astype(jnp.uint8),
-                    [e.get("detections", []) for e in ens_results],
+            s = masks.shape[1]
+            segs = [
+                self.segmentator._assemble_result(
+                    e.get("detections", [])[:s],
+                    self.segmentator._unpack(masks[i], seg_stats[i]),
+                    out.boxes[i][:s], shape[:2],
                 )
-            else:
-                segs = [{} for _ in ens_results]
+                if e.get("detections")
+                else {}
+                for i, e in enumerate(ens_results)
+            ]
             results: List[Dict] = []
             for i, ens in enumerate(ens_results):
                 final = self.postprocessor.process_results(

@@ -172,7 +172,7 @@ class ImageSegmentator:
         }
         total_image_area = float(h * w)
         total = 0.0
-        for i in range(min(len(detections), self.capacity)):
+        for i in range(min(len(detections), len(out_np.masks), len(boxes))):
             det = detections[i]
             area = float(out_np.area[i])
             total += area

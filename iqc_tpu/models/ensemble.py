@@ -164,6 +164,66 @@ def build_ensemble_forward(
     return forward
 
 
+def build_full_forward(
+    yolo: YOLOv8,
+    resnet: ResNet50,
+    input_size: Tuple[int, int],
+    max_detections: int,
+    max_classified: int,
+    classifier_input: int = 224,
+    max_segmented: int = 16,
+    roi_size: int = 128,
+):
+    """The complete streaming pipeline as ONE program (BASELINE config #5):
+    detection + per-crop classification + fusion (build_ensemble_forward)
+    PLUS on-device defect segmentation of the top-``max_segmented``
+    survivors — masks, area/perimeter/compactness and method confidences
+    computed in the same XLA graph, so a request costs one dispatch and one
+    bulk fetch instead of three.
+
+    Returns (det [B,K,15], img [B,4+C], masks [B,S,R,R] bool,
+    seg_stats [B,S,5]) — unpack with unpack_outputs /
+    ImageSegmentator._unpack.
+    """
+    from iqc_tpu.ops.segmentation import segment_rois
+
+    ens_fwd = build_ensemble_forward(
+        yolo, resnet, input_size, max_detections, max_classified, classifier_input
+    )
+    s = max_segmented
+
+    def forward(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,
+                anchors, strides):
+        out = ens_fwd(
+            yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,
+            anchors, strides,
+        )
+        x = imops.to_float(images)
+        if x.shape[1:3] != tuple(input_size):
+            x = imops.resize_bilinear(x, input_size)
+        gray = imops.rgb_to_gray(x)
+
+        def seg_one(g, boxes, cids, valid):
+            rois = imops.crop_and_resize(
+                g[..., None], boxes, (roi_size, roi_size)
+            )[..., 0]
+            bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
+            bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
+            return segment_rois(rois, cids, valid, bw / roi_size, bh / roi_size)
+
+        seg = jax.vmap(seg_one)(
+            gray, out.boxes[:, :s], out.classes[:, :s], out.valid[:, :s]
+        )
+        det, img = pack_outputs(out)
+        seg_stats = jnp.stack(
+            [seg.area, seg.perimeter, seg.compactness,
+             seg.confidence, seg.method.astype(jnp.float32)], axis=-1
+        )
+        return det, img, seg.masks, seg_stats
+
+    return forward
+
+
 def pack_outputs(out: EnsembleOutputs):
     """Pack the fused-graph outputs into two dense tensors.
 
@@ -308,6 +368,7 @@ class EnsemblePredictor:
         self._forward_packed = hoisted_jit(
             lambda *a: pack_outputs(fwd(*a))
         )
+        self._forward_full = None  # built lazily (adds segmentation compile)
 
     @staticmethod
     def _init_or_load(module, dummy_shape, path):
@@ -353,6 +414,28 @@ class EnsemblePredictor:
         det, img = self._forward_packed(*self._args(images))
         det, img = jax.device_get((det, img))
         return unpack_outputs(det, img)
+
+    def run_full_host(self, images):
+        """ONE device program for the complete pipeline incl. segmentation
+        (BASELINE config #5). Returns (EnsembleOutputs, masks [B,S,R,R],
+        seg_stats [B,S,5]) as host numpy."""
+        if self._forward_full is None:
+            from iqc_tpu.ops.jit_utils import hoisted_jit
+
+            m = self.config.model
+            self._forward_full = hoisted_jit(
+                build_full_forward(
+                    self.yolo, self.resnet, self.input_size,
+                    self.max_detections, self.max_classified,
+                    classifier_input=m.classifier_input,
+                    max_segmented=m.max_segmented,
+                    roi_size=m.seg_roi_size,
+                )
+            )
+        det, img, masks, seg_stats = jax.device_get(
+            self._forward_full(*self._args(images))
+        )
+        return unpack_outputs(det, img), masks, seg_stats
 
     def run_sharded(self, images: np.ndarray, mesh_spec=None) -> EnsembleOutputs:
         """Data-parallel fused-graph call over the device mesh.

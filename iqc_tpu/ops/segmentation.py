@@ -150,12 +150,19 @@ def _region_growing_segment(roi: jnp.ndarray, dark: jnp.ndarray, iterations: int
     ring = (
         (yy < margin) | (yy >= h - margin) | (xx < margin) | (xx >= w - margin)
     )
-    n_ring = jnp.maximum(jnp.sum(ring), 1)
-    mu = jnp.sum(jnp.where(ring, blurred, 0.0)) / n_ring
-    var = jnp.sum(jnp.where(ring, (blurred - mu) ** 2, 0.0)) / n_ring
-    sd = jnp.maximum(jnp.sqrt(var), 0.01)
-    seeds = jnp.where(dark, blurred < mu - 2 * sd, blurred > mu + 2 * sd)
-    seeds = seeds & ~ring  # grow from the interior
+    # robust background = ring median (detection boxes are often tighter
+    # than the defect, so the ring mean/std get contaminated by it); seeds
+    # are interior pixels past a relative-contrast threshold, gated on the
+    # ROI actually having contrast (flat ROIs produce no seeds)
+    bg = jnp.nanquantile(jnp.where(ring, blurred, jnp.nan), 0.5)
+    interior = ~ring
+    mx = jnp.max(jnp.where(interior, blurred, -jnp.inf))
+    mn = jnp.min(jnp.where(interior, blurred, jnp.inf))
+    contrast = jnp.where(dark, bg - mn, mx - bg)
+    thresh = jnp.where(dark, bg - 0.35 * contrast, bg + 0.35 * contrast)
+    has_contrast = contrast > 0.06
+    seeds = jnp.where(dark, blurred < thresh, blurred > thresh)
+    seeds = seeds & interior & has_contrast
     n_seeds = jnp.sum(seeds)
     seed_mean = jnp.sum(jnp.where(seeds, roi, 0.0)) / jnp.maximum(n_seeds, 1)
     grow_ok = jnp.abs(roi - seed_mean) < 2.0 * jnp.std(roi)
