@@ -61,9 +61,22 @@ def main() -> None:
     from iqc_tpu.ops.jit_utils import hoisted_jit
     from iqc_tpu.ops.nms import make_anchors
 
-    fwd = hoisted_jit(
-        build_ensemble_forward(yolo, resnet, (640, 640), m.max_detections, m.max_classified)
-    )
+    full = os.environ.get("BENCH_FULL", "0") == "1"
+    if full:
+        from iqc_tpu.models.ensemble import build_full_forward
+
+        fwd = hoisted_jit(
+            build_full_forward(
+                yolo, resnet, (640, 640), m.max_detections, m.max_classified,
+                max_segmented=16,
+            )
+        )
+    else:
+        fwd = hoisted_jit(
+            build_ensemble_forward(
+                yolo, resnet, (640, 640), m.max_detections, m.max_classified
+            )
+        )
     anchors, strides = make_anchors(feature_shapes((640, 640)), STRIDES)
 
     images = np.random.default_rng(0).integers(
@@ -104,7 +117,7 @@ def main() -> None:
     p50_single = lat[len(lat) // 2]
 
     result = {
-        "metric": "ensemble_pipeline_throughput",
+        "metric": "full_pipeline_throughput" if full else "ensemble_pipeline_throughput",
         "value": round(per_min, 1),
         "unit": "images/min/chip",
         "vs_baseline": round(per_min / BASELINE_IMG_PER_MIN, 2),
