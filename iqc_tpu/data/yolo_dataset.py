@@ -87,17 +87,27 @@ class SyntheticDefectDataset:
     """
 
     def __init__(self, n: int = 64, image_size: int = 320, max_boxes: int = 8,
-                 num_classes: int = 5, seed: int = 0):
+                 num_classes: int = 5, seed: int = 0, cache: bool = True):
         self.n = n
         self.image_size = image_size
         self.max_boxes = max_boxes
         self.num_classes = num_classes
         self.seed = seed
+        self._cache: Dict[int, tuple] = {} if cache else None
 
     def __len__(self) -> int:
         return self.n
 
     def load(self, index: int):
+        if self._cache is not None:
+            hit = self._cache.get(index)
+            if hit is None:
+                hit = self._render(index)
+                self._cache[index] = hit
+            return hit
+        return self._render(index)
+
+    def _render(self, index: int):
         rng = np.random.default_rng(self.seed * 100003 + index)
         s = self.image_size
         base = rng.integers(120, 170)

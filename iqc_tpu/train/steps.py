@@ -131,7 +131,14 @@ def shard_train_step(step_fn, spec: MeshSpec):
     """jit a train step with data-parallel shardings over the mesh:
     state replicated, batch sharded on the data axis; GSPMD derives the
     gradient all-reduce. This is the multi-chip entry validated by
-    __graft_entry__.dryrun_multichip."""
+    __graft_entry__.dryrun_multichip.
+
+    Single-device meshes take the plain-jit path: on the tunnel TPU
+    backend the GSPMD sharding pipeline inflates this step's compile from
+    ~40 s to >8 min with zero benefit at mesh size 1 (measured,
+    .scratch/train_bisect2)."""
+    if spec.mesh.size == 1:
+        return jax.jit(step_fn, donate_argnums=(0,))
     repl = NamedSharding(spec.mesh, P())
     batch = NamedSharding(spec.mesh, P(spec.data_axis))
     return jax.jit(

@@ -149,15 +149,20 @@ class YOLOTrainer:
             parts["loss"] = loss
             return new_state, new_ema, parts
 
-        repl = NamedSharding(self.mesh.mesh, P())
-        batch_sh = NamedSharding(self.mesh.mesh, P(self.mesh.data_axis))
-        self._train_step_fn = jax.jit(
-            step,
-            in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh,
-                          repl, repl),
-            out_shardings=(repl, repl, repl),
-            donate_argnums=(0, 1),
-        )
+        if self.mesh.mesh.size == 1:
+            # plain jit on single-device meshes: the GSPMD sharding pipeline
+            # inflates this compile ~15x on the tunnel backend (train/steps.py)
+            self._train_step_fn = jax.jit(step, donate_argnums=(0, 1))
+        else:
+            repl = NamedSharding(self.mesh.mesh, P())
+            batch_sh = NamedSharding(self.mesh.mesh, P(self.mesh.data_axis))
+            self._train_step_fn = jax.jit(
+                step,
+                in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh,
+                              repl, repl),
+                out_shardings=(repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
         anchors_r = replicate(self.mesh, self.anchors)
         strides_r = replicate(self.mesh, self.strides)
         self._train_step = lambda st, ema, im, bx, cl, vl: self._train_step_fn(
