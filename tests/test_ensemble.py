@@ -105,3 +105,46 @@ def test_model_info(predictor):
     info = predictor.get_model_info()
     assert info["fused_graph"] is True
     assert info["models_loaded"] == {"yolo": True, "resnet": True}
+
+
+def test_full_forward_segmentation_matches_standalone(tiny_config, rng):
+    """The fused graph's segmentation outputs must equal the standalone
+    ImageSegmentator kernel on the same boxes (both call segment_rois)."""
+    from iqc_tpu.inference.segmentation import ImageSegmentator
+
+    pred = EnsemblePredictor(config=tiny_config)
+    pred.confidence_threshold = 0.004
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    out, masks, seg_stats = pred.run_full_host(img[None])
+    v = out.valid[0]
+    if not v.any():
+        import pytest
+
+        pytest.skip("no detections at this seed")
+    s = masks.shape[1]
+    m = tiny_config.model
+
+    seg = ImageSegmentator(tiny_config, capacity=s, roi_size=m.seg_roi_size)
+    dets = []
+    for j in range(min(int(v.sum()), s)):
+        x1, y1, x2, y2 = out.boxes[0, j]
+        cid = int(out.classes[0, j])
+        dets.append({
+            "class": seg.class_names[cid],
+            "confidence": float(out.yolo_scores[0, j]),
+            "bbox": {"x1": float(x1), "y1": float(y1), "x2": float(x2), "y2": float(y2),
+                     "width": float(x2 - x1), "height": float(y2 - y1),
+                     "center_x": float(x1 + x2) / 2, "center_y": float(y1 + y2) / 2},
+        })
+    standalone = seg.segment_defects(img, dets)
+    for j, region in enumerate(standalone["segmented_regions"]):
+        # areas agree within resample tolerance (fused uses the same ROI
+        # grid but float boxes; standalone re-packs via numpy)
+        np.testing.assert_allclose(
+            seg_stats[0, j, 0], region["area_pixels"], rtol=0.05, atol=16.0
+        )
+        assert int(seg_stats[0, j, 4]) == (
+            {"threshold": 0, "adaptive": 1, "watershed": 2, "region_growing": 3}[
+                region["segmentation_method"]
+            ]
+        )
