@@ -79,12 +79,14 @@ def assign_targets(
     align = (cls_score**cfg.tal_alpha) * (iou**cfg.tal_beta)
     align = jnp.where(candidate, align, 0.0)
 
-    # top-k anchors per gt by alignment
+    # top-k anchors per gt by alignment — threshold form instead of a
+    # scatter: mask = align >= k-th value per row. Cheaper on TPU (no
+    # scatter in fwd, no gather in bwd); ties at the k-th value may admit
+    # a few extra anchors, which TAL tolerates (they carry low weight).
     k = min(cfg.tal_topk, a)
-    topk_vals, topk_idx = jax.lax.top_k(align, k)  # [M,k]
-    topk_mask = jnp.zeros((m, a), bool)
-    rows = jnp.repeat(jnp.arange(m)[:, None], k, axis=1)
-    topk_mask = topk_mask.at[rows, topk_idx].set(topk_vals > 1e-9)
+    topk_vals, _ = jax.lax.top_k(align, k)  # [M,k]
+    kth = topk_vals[:, -1:]
+    topk_mask = (align >= jnp.maximum(kth, 1e-9)) & (align > 1e-9)
     mask = topk_mask & candidate
 
     # conflict resolution: anchor claimed by the gt with highest IoU
