@@ -1,28 +1,112 @@
 #!/usr/bin/env python3
-"""Benchmark: fused QC ensemble pipeline throughput on one TPU chip.
+"""Benchmark: fused QC pipeline throughput on one TPU chip — honest timing.
 
-Measures the steady-state images/minute of the full fused graph
-(preprocess -> YOLOv8n -> decode+NMS -> crop -> per-crop ResNet-50 ->
-fusion + severity stats) at 640x640 / bf16 — the configuration the
-reference claims 500+ images/min for on a CUDA GPU (README.md:11,21;
-config/config.yaml:133).
+Measures steady-state images/minute of the FULL fused graph (preprocess ->
+YOLOv8n -> decode+NMS -> crop -> per-crop ResNet-50 -> fusion -> on-device
+segmentation) at production capacity (300 detections / 32 classified crops,
+``iqc_tpu/config.py``), the configuration the reference claims 500+
+images/min for on a CUDA GPU (README.md:11,21; config/config.yaml:133).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing methodology (the axon TPU tunnel does NOT block in
+``jax.block_until_ready`` — round-1 numbers were ~13x over chip peak):
+
+1. K pipeline iterations run inside ONE dispatched program (``lax.scan``
+   whose carry perturbs the input by a runtime-zero epsilon, so the
+   compiler cannot hoist the loop-invariant work), returning one scalar.
+2. The wall clock covers dispatch + a host fetch of that scalar — the only
+   operation that provably waits for remote completion on this backend.
+3. Per-batch time = (T_K - T_1) / (K - 1): differencing cancels the ~30 ms
+   tunnel round trip and any constant dispatch overhead.
+4. Physical honesty: MFU is computed from the compiled executable's own
+   XLA cost analysis, and the identical recipe is calibrated against a
+   known-FLOPs 4096^3 bf16 matmul (must land near peak, not above it).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 vs_baseline is value / 500 img/min (the reference's headline claim).
 """
 
+import functools
 import json
 import os
-import sys
+import statistics
 import time
 
 BASELINE_IMG_PER_MIN = 500.0
 
+# bf16 peak TFLOP/s by device kind (prefix match); override: BENCH_PEAK_TFLOPS
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,       # v5p
+    "TPU v4": 275.0,
+    "TPU v6": 918.0,       # Trillium
+}
+
+
+def _peak_tflops(device) -> float:
+    env = os.environ.get("BENCH_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    kind = getattr(device, "device_kind", "")
+    for prefix in sorted(PEAK_TFLOPS, key=len, reverse=True):
+        if kind.startswith(prefix):
+            return PEAK_TFLOPS[prefix]
+    return 197.0
+
+
+def _timed_fetch(fn, *args) -> float:
+    """Wall seconds for dispatch + scalar fetch (the reliable sync)."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.asarray(fn(*args))
+    return time.perf_counter() - t0
+
+
+def _measure(f1, fk, k: int, args, trials: int):
+    """Median per-dispatch seconds via K-vs-1 differencing."""
+    per, t1s, tks = [], [], []
+    for _ in range(trials):
+        t1 = _timed_fetch(f1, *args)
+        tk = _timed_fetch(fk, *args)
+        t1s.append(t1)
+        tks.append(tk)
+        per.append((tk - t1) / (k - 1))
+    return statistics.median(per), statistics.median(t1s), statistics.median(tks)
+
+
+def _calibrate(trials: int):
+    """Known-FLOPs matmul through the identical timing recipe; returns
+    (measured TFLOP/s, per-iter ms). Must come out <= chip peak."""
+    import jax
+    import jax.numpy as jnp
+
+    n, k = 4096, 51
+    flops = 2 * n**3
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def loop(a, length):
+        def body(c, _):
+            return c @ a, None
+
+        c, _ = jax.lax.scan(body, a, None, length=length)
+        return jnp.sum(c[:1, :8]).astype(jnp.float32)
+
+    x = jax.device_put(jnp.ones((n, n), jnp.bfloat16))
+    f1 = functools.partial(loop, length=1)
+    fk = functools.partial(loop, length=k)
+    _timed_fetch(f1, x)
+    _timed_fetch(fk, x)
+    per, _, _ = _measure(f1, fk, k, (x,), trials)
+    return flops / per / 1e12, per  # TFLOP/s, seconds per matmul
+
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))  # scan length K
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    full = os.environ.get("BENCH_FULL", "1") == "1"
+    single = os.environ.get("BENCH_SINGLE", "1") == "1"
 
     import jax
 
@@ -34,15 +118,18 @@ def main() -> None:
     import numpy as np
 
     from iqc_tpu.config import SystemConfig
-    from iqc_tpu.models.ensemble import build_ensemble_forward
+    from iqc_tpu.models.ensemble import build_ensemble_forward, build_full_forward
     from iqc_tpu.models.resnet import ResNet50
-    from iqc_tpu.models.yolo import YOLOv8
+    from iqc_tpu.models.yolo import STRIDES, YOLOv8, feature_shapes
+    from iqc_tpu.ops.jit_utils import hoisted_jit
+    from iqc_tpu.ops.nms import make_anchors
 
+    # production capacity by default (config.py defaults: 300 det / 32 crops)
     cfg = SystemConfig.from_dict(
         {
             "model": {
-                "max_detections": int(os.environ.get("BENCH_MAX_DET", "64")),
-                "max_classified": int(os.environ.get("BENCH_MAX_CLS", "16")),
+                "max_detections": int(os.environ.get("BENCH_MAX_DET", "300")),
+                "max_classified": int(os.environ.get("BENCH_MAX_CLS", "32")),
             },
             "processing": {"input_size": [640, 640]},
         }
@@ -57,81 +144,115 @@ def main() -> None:
     yolo_vars = yolo.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32), train=False)
     resnet_vars = resnet.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32), train=False)
 
-    from iqc_tpu.models.yolo import STRIDES, feature_shapes
-    from iqc_tpu.ops.jit_utils import hoisted_jit
-    from iqc_tpu.ops.nms import make_anchors
-
-    full = os.environ.get("BENCH_FULL", "0") == "1"
     if full:
-        from iqc_tpu.models.ensemble import build_full_forward
-
-        fwd = hoisted_jit(
-            build_full_forward(
-                yolo, resnet, (640, 640), m.max_detections, m.max_classified,
-                max_segmented=16,
-            )
+        fwd = build_full_forward(
+            yolo, resnet, (640, 640), m.max_detections, m.max_classified,
+            max_segmented=m.max_segmented,
         )
     else:
-        fwd = hoisted_jit(
-            build_ensemble_forward(
-                yolo, resnet, (640, 640), m.max_detections, m.max_classified
-            )
+        fwd = build_ensemble_forward(
+            yolo, resnet, (640, 640), m.max_detections, m.max_classified
         )
+
+    def small_out(out):
+        # reduce over EVERY output leaf: a scalar that touches only part of
+        # the outputs lets XLA dead-code-eliminate the rest (measured: the
+        # per-crop ResNets and segmentation vanish, flops drop 8x)
+        return sum(
+            jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree_util.tree_leaves(out)
+        )
+
     anchors, strides = make_anchors(feature_shapes((640, 640)), STRIDES)
+
+    def make_loop(k: int):
+        def loop(yv, rv, images, conf_t, iou_t, w_y, w_r, anc, strd):
+            def body(carry, _):
+                # runtime-zero, compiler-opaque perturbation: forces each
+                # iteration to depend on the previous (no loop hoisting)
+                eps = (carry * 1e-30).astype(images.dtype)
+                out = fwd(yv, rv, images + eps, conf_t, iou_t, w_y, w_r, anc, strd)
+                return small_out(out), None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return c
+
+        return loop
 
     images = np.random.default_rng(0).integers(
         0, 255, (batch, 640, 640, 3), dtype=np.uint8
     )
     images_dev = jax.device_put(jnp.asarray(images))
-    args = (
+    scalars = (
         jnp.float32(0.25), jnp.float32(0.5), jnp.float32(0.6), jnp.float32(0.4),
-        jax.device_put(anchors), jax.device_put(strides),
+    )
+    anc_dev, strd_dev = jax.device_put(anchors), jax.device_put(strides)
+    args = (yolo_vars, resnet_vars, images_dev, *scalars, anc_dev, strd_dev)
+
+    f1, cost1 = hoisted_jit(make_loop(1)).aot_compile(*args)
+    fk, costk = hoisted_jit(make_loop(iters)).aot_compile(*args)
+    # XLA cost analysis counts a while-loop body ONCE regardless of trip
+    # count (and sometimes elides a length-1 scan) — take the max of both
+    # compiles as the per-batch (one-iteration) flops.
+    flops_per_batch = max(
+        float(cost1.get("flops", 0.0)), float(costk.get("flops", 0.0))
     )
 
-    def run_once():
-        out = fwd(yolo_vars, resnet_vars, images_dev, *args)
-        jax.block_until_ready(out)
-        return out
+    # warm up execution paths
+    _timed_fetch(f1, *args)
+    _timed_fetch(fk, *args)
 
-    for _ in range(warmup):
-        run_once()
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run_once()
-    elapsed = time.perf_counter() - t0
-
-    total_images = batch * iters
-    per_sec = total_images / elapsed
+    per_batch, t1_med, _tk_med = _measure(f1, fk, iters, args, trials)
+    per_sec = batch / per_batch
     per_min = per_sec * 60.0
-    p50_ms = elapsed / iters / batch * 1000.0
 
-    # single-image end-to-end latency (p50 target: <20 ms)
-    one = jax.device_put(jnp.asarray(images[:1]))
-    lat = []
-    for _ in range(max(iters * 2, 5)):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fwd(yolo_vars, resnet_vars, one, *args))
-        lat.append((time.perf_counter() - t0) * 1000)
-    lat.sort()
-    p50_single = lat[len(lat) // 2]
+    device = jax.devices()[0]
+    peak = _peak_tflops(device)
+    tflops = flops_per_batch / per_batch / 1e12 if flops_per_batch else None
+    mfu = tflops / peak if tflops else None
+
+    detail = {
+        "batch": batch,
+        "scan_iters": iters,
+        "trials": trials,
+        "images_per_second": round(per_sec, 2),
+        "device_ms_per_batch": round(per_batch * 1e3, 3),
+        "amortized_latency_ms": round(per_batch / batch * 1e3, 4),
+        "tunnel_roundtrip_ms": round(t1_med * 1e3 - per_batch * 1e3, 1),
+        "graph_gflops_per_batch": round(flops_per_batch / 1e9, 2) if flops_per_batch else None,
+        "achieved_tflops": round(tflops, 2) if tflops else None,
+        "mfu": round(mfu, 4) if mfu else None,
+        "peak_tflops_assumed": peak,
+        "device": str(device),
+        "device_kind": getattr(device, "device_kind", "?"),
+        "dtype": "bfloat16",
+        "max_detections": m.max_detections,
+        "max_classified_crops": m.max_classified,
+        "segmentation_included": full,
+    }
+
+    if single:
+        one = jax.device_put(jnp.asarray(images[:1]))
+        args1 = (yolo_vars, resnet_vars, one, *scalars, anc_dev, strd_dev)
+        s1, _ = hoisted_jit(make_loop(1)).aot_compile(*args1)
+        sk, _ = hoisted_jit(make_loop(iters)).aot_compile(*args1)
+        _timed_fetch(s1, *args1)
+        _timed_fetch(sk, *args1)
+        per_img, e2e_med, _ = _measure(s1, sk, iters, args1, trials)
+        detail["single_image_device_ms"] = round(per_img * 1e3, 3)
+        # honest end-to-end through the tunnel: dispatch + fetch, per call
+        detail["single_image_e2e_tunnel_ms"] = round(e2e_med * 1e3, 2)
+
+    if os.environ.get("BENCH_CALIBRATE", "1") == "1":
+        cal_tflops, _cal_per = _calibrate(trials)
+        detail["calibration_matmul_tflops"] = round(cal_tflops, 1)
+        detail["calibration_matmul_mfu"] = round(cal_tflops / peak, 3)
 
     result = {
         "metric": "full_pipeline_throughput" if full else "ensemble_pipeline_throughput",
         "value": round(per_min, 1),
         "unit": "images/min/chip",
         "vs_baseline": round(per_min / BASELINE_IMG_PER_MIN, 2),
-        "detail": {
-            "batch": batch,
-            "iters": iters,
-            "images_per_second": round(per_sec, 2),
-            "amortized_latency_ms": round(p50_ms, 3),
-            "single_image_p50_ms": round(p50_single, 3),
-            "device": str(jax.devices()[0]),
-            "dtype": "bfloat16",
-            "max_detections": m.max_detections,
-            "max_classified_crops": m.max_classified,
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 
