@@ -36,12 +36,17 @@ RUN make -C iqc_tpu/runtime/cpp
 RUN python scripts/prepare_models.py init --output-dir models || true
 
 # ---- production ---------------------------------------------------------------
+# Process model: ONE worker on TPU (the chip admits one client process;
+# request concurrency = threaded WSGI server + the batch-coalescing device
+# queue, which replaces the reference's gunicorn x4 process fan-out).
+# CPU-only/demo deployments may add --workers N for preforked SO_REUSEPORT
+# workers with supervisor restart (serving/app.py:_supervise_workers).
 FROM app AS production
 ENV IQC_CONFIG=/app/config/config.yaml
 EXPOSE 5000 9090
 HEALTHCHECK --interval=30s --timeout=10s --retries=3 \
     CMD curl -sf http://localhost:5000/health || exit 1
-CMD ["python", "-m", "iqc_tpu.serving.app", "--config", "/app/config/config.yaml"]
+CMD ["python", "-m", "iqc_tpu.serving.app", "--config", "/app/config/config.yaml", "--workers", "1"]
 
 # ---- dev ----------------------------------------------------------------------
 FROM app AS dev

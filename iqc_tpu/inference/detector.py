@@ -205,6 +205,20 @@ class QualityControlDetector:
                     for r in rgbs
                 ]
             )
+            # pad to the next power-of-two bucket (capped at the configured
+            # batch_size): every distinct batch shape compiles a fresh
+            # executable (~10 s on CPU, minutes over the TPU tunnel), so
+            # bucketing bounds the compiled variants to log2(max_batch)
+            # while padded rows ride along and get dropped below
+            n = len(images)
+            cap = max(int(self.config.processing.batch_size), 1)
+            bucket = 1
+            while bucket < n and bucket < cap:
+                bucket *= 2
+            if n < bucket:
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[-1:], bucket - n, axis=0)]
+                )
             # ONE device program for the whole batch: preprocess stays
             # device-resident, detection + crop classification + fusion +
             # segmentation fused (BASELINE config #5)

@@ -34,23 +34,42 @@ def save_variables(path: str, variables, metadata: Optional[Dict] = None) -> Non
 
 
 def load_variables(path: str, template):
-    """Deserialize into the structure of ``template`` (shape-checked)."""
+    """Deserialize into the structure of ``template`` (shape-checked).
+
+    flax.serialization.from_bytes validates the TREE structure but not leaf
+    shapes — a wrong-shape checkpoint would otherwise load silently and
+    surface later as a cryptic apply error (or broadcast wrongly). Check
+    every leaf shape against the template explicitly."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        restored = serialization.from_bytes(template, f.read())
+    t_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+    r_leaves = jax.tree_util.tree_flatten_with_path(restored)[0]
+    for (t_path, t_leaf), (_, r_leaf) in zip(t_leaves, r_leaves):
+        ts, rs = np.shape(t_leaf), np.shape(r_leaf)
+        if ts != rs:
+            key = jax.tree_util.keystr(t_path)
+            raise ValueError(
+                f"checkpoint leaf {key} has shape {rs}, model expects {ts}"
+            )
+    return restored
 
 
 def try_load_variables(path: str, template):
-    """Load weights, falling back to None (caller keeps init weights) —
+    """Load weights, falling back to None only when the file is MISSING —
     parity with the reference's pretrained fallback (resent_model.py:100-101).
+
+    A malformed or shape-incompatible checkpoint re-raises: silently serving
+    randomly-initialized weights while /health reports healthy is worse than
+    failing model init (ADVICE r1). Callers that keep init weights on None
+    must surface that state (EnsemblePredictor.weights_source).
     """
     try:
         return load_variables(path, template)
     except FileNotFoundError:
         logger.warning("checkpoint %s not found; using initialized weights", path)
         return None
-    except Exception as e:  # malformed/incompatible checkpoint
-        logger.error("failed to load checkpoint %s: %s", path, e)
-        return None
+    except Exception as e:  # malformed/incompatible checkpoint: fail loudly
+        raise ValueError(f"corrupt or incompatible checkpoint {path!r}: {e}") from e
 
 
 def load_metadata(path: str) -> Dict:

@@ -122,7 +122,8 @@ def make_classifier_eval_step(module):
         )
         preds = jnp.argmax(logits, -1)
         loss = softmax_cross_entropy(logits, labels)
-        return {"loss": loss, "preds": preds, "labels": labels}
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return {"loss": loss, "preds": preds, "labels": labels, "probs": probs}
 
     return step
 

@@ -141,8 +141,14 @@ class YOLOTrainer:
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
+            # EMA decay warmup ramp (Ultralytics: d * (1 - exp(-updates/2000))):
+            # a constant 0.9999 keeps ~85% weight on the random init even
+            # after 1600 steps, so short trainings would validate/checkpoint
+            # near-random EMA weights (ADVICE r1).
+            step_f = state.step.astype(jnp.float32) + 1.0
+            d = ema_decay * (1.0 - jnp.exp(-step_f / 2000.0))
             new_ema = jax.tree_util.tree_map(
-                lambda e, p: ema_decay * e + (1 - ema_decay) * p, ema, params
+                lambda e, p: d * e + (1 - d) * p, ema, params
             )
             new_state = TrainState(state.step + 1, params, new_bs, opt_state)
             parts = dict(parts)

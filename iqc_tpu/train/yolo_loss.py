@@ -79,15 +79,19 @@ def assign_targets(
     align = (cls_score**cfg.tal_alpha) * (iou**cfg.tal_beta)
     align = jnp.where(candidate, align, 0.0)
 
-    # top-k anchors per gt by alignment — threshold form instead of a
-    # scatter: mask = align >= k-th value per row. Cheaper on TPU (no
-    # scatter in fwd, no gather in bwd); ties at the k-th value may admit
-    # a few extra anchors, which TAL tolerates (they carry low weight).
+    # top-k anchors per gt as an exact scatter-free mask: one-hot compare of
+    # the top_k INDICES (ties resolved deterministically by top_k itself, so
+    # rows of equal alignments admit exactly k anchors — a >=kth threshold
+    # admits unboundedly more). The floor is relative (align > 0), not an
+    # absolute 1e-9: early in training score^0.5 * iou^6 is ~1e-14 and an
+    # absolute floor would zero every foreground anchor, killing the box/DFL
+    # gradient (ADVICE r1). No scatter in fwd, no gather in bwd.
     k = min(cfg.tal_topk, a)
-    topk_vals, _ = jax.lax.top_k(align, k)  # [M,k]
-    kth = topk_vals[:, -1:]
-    topk_mask = (align >= jnp.maximum(kth, 1e-9)) & (align > 1e-9)
-    mask = topk_mask & candidate
+    _, topk_idx = jax.lax.top_k(align, k)  # [M,k]
+    topk_mask = jnp.any(
+        topk_idx[:, :, None] == jnp.arange(a)[None, None, :], axis=1
+    )  # [M,A]
+    mask = topk_mask & (align > 0.0) & candidate
 
     # conflict resolution: anchor claimed by the gt with highest IoU
     iou_masked = jnp.where(mask, iou, -1.0)

@@ -161,6 +161,96 @@ def test_yolo_assignment_prefers_containing_anchors(yolo_problem):
     assert (np.asarray(out["target_class"])[fg] == 2).all()
 
 
+def test_tal_topk_exact_count_on_ties(yolo_problem):
+    """Near-uniform alignments admit EXACTLY k anchors, matching a scatter
+    top-k oracle (ADVICE r1: the old >=kth threshold admitted unboundedly
+    many on ties)."""
+    from iqc_tpu.train.yolo_loss import YoloLossConfig, assign_targets
+
+    anchors, strides, a, reg_max, c, m = yolo_problem
+    # identical predictions everywhere -> every candidate anchor ties
+    pred_boxes = jnp.concatenate([anchors - 8.0, anchors + 8.0], axis=-1)
+    pred_scores = jnp.full((a, c), 0.5)
+    gt = jnp.asarray([[2, 2, 62, 62]], jnp.float32)  # contains many anchors
+    cfg = YoloLossConfig()
+    out = assign_targets(
+        pred_boxes, pred_scores, anchors, gt,
+        jnp.asarray([1]), jnp.asarray([True]), cfg,
+    )
+    fg = np.asarray(out["fg"])
+    inside = (
+        (np.asarray(anchors)[:, 0] > 2) & (np.asarray(anchors)[:, 0] < 62)
+        & (np.asarray(anchors)[:, 1] > 2) & (np.asarray(anchors)[:, 1] < 62)
+    )
+    assert inside.sum() > cfg.tal_topk  # the tie pool really exceeds k
+    assert fg.sum() == cfg.tal_topk
+
+    # scatter oracle: top-k by alignment (numpy, stable order)
+    iou_row = np.zeros(a)
+    boxes = np.asarray(pred_boxes)
+    gx1, gy1, gx2, gy2 = 2, 2, 62, 62
+    ix1 = np.maximum(boxes[:, 0], gx1); iy1 = np.maximum(boxes[:, 1], gy1)
+    ix2 = np.minimum(boxes[:, 2], gx2); iy2 = np.minimum(boxes[:, 3], gy2)
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    union = 16 * 16 + (gx2 - gx1) * (gy2 - gy1) - inter
+    iou_row = np.where(union > 0, inter / union, 0)
+    align = np.where(inside, 0.5**cfg.tal_alpha * iou_row**cfg.tal_beta, 0.0)
+    oracle = np.zeros(a, bool)
+    oracle[np.argsort(-align, kind="stable")[: cfg.tal_topk]] = True
+    # fg anchors must all come from the oracle's alignment level set
+    assert np.isin(align[fg], align[oracle]).all()
+
+
+def test_tal_tiny_alignments_still_assign(yolo_problem):
+    """Early-training regime: score^0.5 * iou^6 ~ 1e-14 must still produce
+    foreground anchors (the old absolute 1e-9 floor zeroed them all,
+    killing the box/DFL gradient — ADVICE r1)."""
+    from iqc_tpu.train.yolo_loss import YoloLossConfig, assign_targets
+
+    anchors, strides, a, reg_max, c, m = yolo_problem
+    # slightly offset predicted boxes -> low-but-nonzero IoU with the gt
+    pred_boxes = jnp.concatenate([anchors - 1.0, anchors + 2.0], axis=-1)
+    pred_scores = jnp.full((a, c), 1e-5)  # near-zero early scores
+    gt = jnp.asarray([[8, 8, 40, 40]], jnp.float32)
+    out = assign_targets(
+        pred_boxes, pred_scores, anchors, gt,
+        jnp.asarray([0]), jnp.asarray([True]), YoloLossConfig(),
+    )
+    assert np.asarray(out["fg"]).sum() > 0
+
+
+def test_try_load_variables_corrupt_raises(tmp_path):
+    """Missing file -> None (init fallback); corrupt file -> raises, never
+    silently serving random weights (ADVICE r1)."""
+    from iqc_tpu.train.checkpoint import save_variables, try_load_variables
+
+    template = {"w": np.zeros((2, 2), np.float32)}
+    assert try_load_variables(str(tmp_path / "missing.msgpack"), template) is None
+
+    bad = tmp_path / "corrupt.msgpack"
+    bad.write_bytes(b"this is not msgpack at all")
+    with pytest.raises(ValueError, match="corrupt or incompatible"):
+        try_load_variables(str(bad), template)
+
+    # shape-incompatible counts as corrupt too
+    other = tmp_path / "wrong_shape.msgpack"
+    save_variables(str(other), {"w": np.zeros((3, 3), np.float32)})
+    with pytest.raises(ValueError, match="corrupt or incompatible"):
+        try_load_variables(str(other), template)
+
+
+def test_ema_ramp_tracks_params_early():
+    """EMA decay ramps from 0 (Ultralytics d*(1-exp(-t/2000))): after a few
+    steps the EMA must be dominated by trained params, not the init
+    (ADVICE r1: constant 0.9999 kept ~85% init weight at step 1600)."""
+    d = 0.9999
+    w = 1.0  # effective weight remaining on init after n steps
+    for step in range(1, 101):
+        dt = d * (1.0 - np.exp(-step / 2000.0))
+        w *= dt
+    assert w < 0.2  # ~0.08 after 100 steps; constant decay would give 0.99
+
+
 # --- resnet trainer end-to-end (tiny) ---------------------------------------
 
 
