@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -294,7 +295,13 @@ def load_config(path: Optional[str] = None) -> SystemConfig:
     loaded dict is validated rather than used raw.
     """
     if path is None:
-        return SystemConfig().validate()
+        # no explicit path: prefer the shipped config (which wires the
+        # trained demo checkpoints) when running from a repo checkout
+        default = os.path.join(os.path.dirname(__file__), "..", "config", "config.yaml")
+        if os.path.exists(default):
+            path = default
+        else:
+            return SystemConfig().validate()
     try:
         with open(path) as f:
             raw = yaml.safe_load(f) or {}

@@ -359,6 +359,18 @@ class EnsemblePredictor:
             self.resnet, (1, ci, ci, 3), resnet_weights or m.resnet_weights
         )
 
+        # serving precision (TensorRT-equivalent edge config, config.yaml:139-150):
+        # int8 = weight-only quantize + dequantize-on-load through XLAOptimizer
+        self.precision_report = None
+        if cfg.edge.precision == "int8":
+            from iqc_tpu.models.optimizer import XLAOptimizer
+
+            for attr in ("yolo_vars", "resnet_vars"):
+                opt = XLAOptimizer(precision="int8")
+                lowered, report = opt.optimize_variables(getattr(self, attr))
+                setattr(self, attr, lowered)
+                self.precision_report = report  # per-model reports are identical in shape
+
         fwd = build_ensemble_forward(
             self.yolo, self.resnet, self.input_size,
             self.max_detections, self.max_classified, classifier_input=ci,
@@ -619,6 +631,8 @@ class EnsemblePredictor:
                 "max_classified_crops": self.max_classified,
             },
             "fused_graph": True,
+            "serving_precision": self.config.edge.precision,
+            "precision_report": self.precision_report,
         }
 
     def visualize_ensemble_results(self, image: np.ndarray, results: Dict) -> np.ndarray:

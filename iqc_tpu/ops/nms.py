@@ -126,6 +126,23 @@ def _suppression_exact(iou: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
     return keep
 
 
+def _pallas_suppression_default() -> bool:
+    """Use the Pallas VMEM suppression kernel when it can lower natively.
+
+    Measured on TPU v5e (batch 32, K=304, 16 iterations): 2.27 ms vs
+    15.75 ms for the XLA fixed-point — 7x, bit-identical keep masks
+    (/tmp bench recorded in RESULTS.md). Overridable per call with
+    ``use_pallas`` and globally with IQC_DISABLE_PALLAS_NMS=1.
+    """
+    import os
+
+    if os.environ.get("IQC_DISABLE_PALLAS_NMS"):
+        return False
+    from iqc_tpu.ops.pallas_nms import suppression_available
+
+    return suppression_available()
+
+
 def nms_single(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -136,11 +153,13 @@ def nms_single(
     score_threshold: float,
     class_aware: bool = True,
     iterations: Optional[int] = 16,
+    use_pallas: Optional[bool] = None,
 ) -> Detections:
     """Fixed-capacity NMS for one image.
 
     boxes [A,4], scores [A], classes [A] int, mask [A] bool (pre-filter).
     Returns Detections with K=max_detections slots, score-descending.
+    ``use_pallas``: None = auto (Pallas VMEM kernel on TPU, XLA elsewhere).
     """
     neg = jnp.asarray(-1.0, dtype=scores.dtype)
     s = jnp.where(mask & (scores > score_threshold), scores, neg)
@@ -156,10 +175,19 @@ def nms_single(
     else:
         iou_boxes = top_boxes
 
-    iou = iou_matrix(iou_boxes, iou_boxes)
     if iterations is None:
+        iou = iou_matrix(iou_boxes, iou_boxes)
         keep = _suppression_exact(iou, iou_threshold)
+    elif use_pallas if use_pallas is not None else _pallas_suppression_default():
+        from iqc_tpu.ops.pallas_nms import pallas_suppression
+
+        keep = pallas_suppression(
+            iou_boxes.astype(jnp.float32),
+            jnp.asarray(iou_threshold, jnp.float32),
+            iterations=iterations,
+        )
     else:
+        iou = iou_matrix(iou_boxes, iou_boxes)
         keep = _suppression_fixed_point(iou, iou_threshold, iterations)
     valid = cand_valid & keep
 
@@ -181,6 +209,7 @@ def batched_nms(
     score_threshold: float,
     class_aware: bool = True,
     iterations: Optional[int] = 16,
+    use_pallas: Optional[bool] = None,
 ) -> Detections:
     """Batched class-aware NMS.
 
@@ -199,6 +228,7 @@ def batched_nms(
         score_threshold=score_threshold,
         class_aware=class_aware,
         iterations=iterations,
+        use_pallas=use_pallas,
     )
     return jax.vmap(fn)(boxes, scores, classes, mask)
 
@@ -213,6 +243,7 @@ def decode_and_nms(
     iou_threshold: float,
     score_threshold: float,
     iterations: Optional[int] = 16,
+    use_pallas: Optional[bool] = None,
 ) -> Detections:
     """The fused kernel: DFL decode -> sigmoid scores -> class-aware NMS.
 
@@ -229,4 +260,5 @@ def decode_and_nms(
         iou_threshold=iou_threshold,
         score_threshold=score_threshold,
         iterations=iterations,
+        use_pallas=use_pallas,
     )

@@ -71,8 +71,18 @@ def pallas_suppression(
     iterations: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Keep mask [K] for score-sorted boxes [K,4] (class-offset upstream)."""
+    """Keep mask [K] for score-sorted boxes [K,4] (class-offset upstream).
+
+    K is padded up to a multiple of 8 for Mosaic tiling; pad slots are
+    zero boxes (zero area -> zero IoU with everything, so they neither
+    suppress nor get suppressed — the result is sliced back to K).
+    """
     k = boxes.shape[0]
+    k_pad = (-k) % 8
+    if k_pad:
+        boxes = jnp.concatenate(
+            [boxes, jnp.zeros((k_pad, 4), boxes.dtype)], axis=0
+        )
     thresh = jnp.reshape(iou_threshold.astype(jnp.float32), (1, 1))
     kernel = functools.partial(_suppress_kernel, iterations=iterations)
     if _HAS_PLTPU and not interpret:
@@ -86,13 +96,22 @@ def pallas_suppression(
         out_specs = pl.BlockSpec()
     keep = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, k + k_pad), jnp.float32),
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
     )(boxes.astype(jnp.float32), thresh)
-    return keep[0] > 0.5
+    return keep[0, :k] > 0.5
 
 
 def suppression_available() -> bool:
-    return _HAS_PLTPU
+    """True when the Pallas TPU backend can lower the kernel natively:
+    pltpu importable AND the default device is a TPU (the axon tunnel
+    platform reports device_kind "TPU v5 lite" with platform "axon")."""
+    if not _HAS_PLTPU:
+        return False
+    try:
+        d = jax.devices()[0]
+        return d.platform == "tpu" or "TPU" in getattr(d, "device_kind", "")
+    except Exception:  # pragma: no cover
+        return False

@@ -148,3 +148,21 @@ def test_full_forward_segmentation_matches_standalone(tiny_config, rng):
                 region["segmentation_method"]
             ]
         )
+
+
+def test_int8_serving_precision(tiny_config, rng):
+    """edge.precision="int8" lowers both models' weights through the
+    XLAOptimizer at init (TensorRT-equivalent serving variant,
+    config.yaml:139-150) and surfaces the size report."""
+    import copy
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg.edge.precision = "int8"
+    pred = EnsemblePredictor(config=cfg)
+    assert pred.precision_report is not None
+    assert pred.precision_report["size_reduction_percent"] > 60.0
+    info = pred.get_model_info()
+    assert info["serving_precision"] == "int8"
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    result = pred.predict(img)
+    assert result["quality_assessment"]["quality_grade"] in "ABCDF"

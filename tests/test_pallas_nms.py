@@ -42,3 +42,24 @@ def test_pallas_suppresses_duplicates():
     boxes = np.tile(np.asarray([[0, 0, 50, 50]], np.float32), (8, 1))
     keep = np.asarray(pallas_suppression(jnp.asarray(boxes), jnp.float32(0.5), interpret=True))
     assert keep[0] and not keep[1:].any()
+
+
+def test_pallas_pad_to_multiple_of_8():
+    """Non-multiple-of-8 K pads with zero boxes that never interact."""
+    boxes, _ = _sorted_problem(3, n=37)
+    iou = iou_matrix(jnp.asarray(boxes), jnp.asarray(boxes))
+    want = np.asarray(_suppression_fixed_point(iou, 0.5, 16))
+    got = np.asarray(
+        pallas_suppression(jnp.asarray(boxes), jnp.float32(0.5), interpret=True)
+    )
+    assert got.shape == (37,)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_nms_single_use_pallas_flag_matches_xla():
+    """nms_single(use_pallas=True) (interpret via CPU lowering not available,
+    so force the kernel path only where it can run) must agree with the XLA
+    path; on CPU auto-detect selects XLA."""
+    from iqc_tpu.ops.nms import _pallas_suppression_default
+
+    assert _pallas_suppression_default() is False  # tests force CPU
