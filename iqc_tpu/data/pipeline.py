@@ -167,14 +167,25 @@ class DataLoader:
             raise errors[0]
 
 
-def device_prefetch(iterator: Iterator, sharding=None, size: int = 2):
+def device_prefetch(iterator: Iterator, sharding=None, size: int = 2,
+                    leaves=None):
     """Move batches to device ahead of consumption (jax equivalent of the
-    double-buffered HBM transfer): keeps `size` batches in flight."""
+    double-buffered HBM transfer): keeps `size` batches in flight.
+
+    ``leaves``: for dict batches, transfer only these keys (the rest pass
+    through untouched — e.g. host-side metadata accompanying a packed
+    buffer)."""
     import collections
 
     buf = collections.deque()
 
     def put(batch):
+        if leaves is not None and isinstance(batch, dict):
+            out = dict(batch)
+            for k in leaves:
+                out[k] = (jax.device_put(batch[k], sharding)
+                          if sharding is not None else jax.device_put(batch[k]))
+            return out
         if sharding is not None:
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding), batch

@@ -193,8 +193,10 @@ def mosaic4(samples, out_size: int, max_boxes: int, rng: np.random.Generator):
         sx, sy = qw / iw, qh / ih
         from PIL import Image
 
+        # BILINEAR: matches the cv2.INTER_LINEAR the Ultralytics mosaic uses
+        # upstream, and is ~2x faster than PIL's default bicubic
         patch = np.asarray(
-            Image.fromarray(img).resize((qw, qh)), dtype=np.uint8
+            Image.fromarray(img).resize((qw, qh), Image.BILINEAR), dtype=np.uint8
         )
         canvas[qy1:qy2, qx1:qx2] = patch
         for b, c, v in zip(boxes, classes, valid):
@@ -252,8 +254,8 @@ class DetectionLoader:
     def __len__(self) -> int:
         return max(len(self.ds) // self.batch_size, 1)
 
-    def _sample(self, idx_pool: np.ndarray):
-        rng = self._rng
+    def _sample(self, idx_pool: np.ndarray, rng: Optional[np.random.Generator] = None):
+        rng = self._rng if rng is None else rng
         if rng.uniform() < self.mosaic_prob:
             picks = rng.choice(idx_pool, 4)
             sample = mosaic4(

@@ -1,0 +1,176 @@
+"""On-device mosaic augmentation (detection training).
+
+The reference trains with Ultralytics mosaic=1.0 (``config/yolo_config.yaml:75``),
+assembled per-sample on the host with cv2. This host is a single CPU: serial
+assembly costs ~660 ms/batch at 640px while the train step computes in
+~100 ms — the entire training loop is host-bound (measured, RESULTS.md).
+
+TPU-native reformulation: **in-batch mosaic as masked interpolation
+matmuls**. Each output sample draws 4 source images *from the uploaded
+batch* (batch-axis gather — cheap; it is 2-D *spatial* gathers that are
+pathological on TPU, CLAUDE.md rule 4). Each quadrant's rescale is a
+separable bilinear resample expressed as two dense matmuls
+(``Wy @ src @ Wx^T`` — same trick as ops/image.crop_and_resize), with the
+interpolation matrices built in-graph from the traced quadrant corner
+scalars via ``broadcasted_iota`` (no embedded array constants). Quadrant
+masks select which resample feeds each output pixel. Everything is static
+shape; the whole batch costs ~100 GFLOP ≈ 1.5 ms on a v5e — 400x faster
+than the host path it replaces.
+
+In-batch source picks make sample augmentations within one batch slightly
+correlated (picks come from the same pool of B images instead of the whole
+dataset); with shuffled loaders each epoch re-pools, and this is the
+standard efficiency trade (e.g. in-batch mosaic in several detection
+frameworks).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _interp_matrix(out_start, out_end, size: int):
+    """[size, size] bilinear resample matrix: output rows in
+    [out_start, out_end) sample a [0, size) source squeezed into that span.
+    Rows outside the span produce garbage — callers mask them out."""
+    i = lax.broadcasted_iota(jnp.float32, (size, size), 0)  # output row
+    j = lax.broadcasted_iota(jnp.float32, (size, size), 1)  # source row
+    span = jnp.maximum((out_end - out_start).astype(jnp.float32), 1.0)
+    u = (i - out_start.astype(jnp.float32) + 0.5) * size / span - 0.5
+    u = jnp.clip(u, 0.0, size - 1.0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u - j))
+
+
+def _mosaic_one(
+    srcs: jnp.ndarray,     # [4, S, S, 3] float
+    boxes: jnp.ndarray,    # [4, M, 4] xyxy pixels in the S-sized source
+    classes: jnp.ndarray,  # [4, M] int32
+    valid: jnp.ndarray,    # [4, M] bool
+    cx: jnp.ndarray,       # traced scalar in [0.3 S, 0.7 S]
+    cy: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    s = srcs.shape[1]
+    m = boxes.shape[1]
+    zero = jnp.zeros((), jnp.float32)
+    full = jnp.full((), float(s), jnp.float32)
+    rects = (
+        (zero, zero, cx, cy), (cx, zero, full, cy),
+        (zero, cy, cx, full), (cx, cy, full, full),
+    )
+    yy = lax.broadcasted_iota(jnp.float32, (s, s), 0)
+    xx = lax.broadcasted_iota(jnp.float32, (s, s), 1)
+
+    out = jnp.zeros((s, s, 3), jnp.float32)
+    out_boxes, out_classes, out_valid = [], [], []
+    for q, (x0, y0, x1, y1) in enumerate(rects):
+        wy = _interp_matrix(y0, y1, s)
+        wx = _interp_matrix(x0, x1, s)
+        resized = jnp.einsum(
+            "ij,jkc->ikc", wy.astype(jnp.bfloat16), srcs[q].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        resized = jnp.einsum(
+            "ikc,lk->ilc", resized.astype(jnp.bfloat16), wx.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        mask = (yy >= y0) & (yy < y1) & (xx >= x0) & (xx < x1)
+        out = jnp.where(mask[..., None], resized, out)
+
+        sx = (x1 - x0) / s
+        sy = (y1 - y0) / s
+        b = boxes[q]
+        out_boxes.append(jnp.stack([
+            b[:, 0] * sx + x0, b[:, 1] * sy + y0,
+            b[:, 2] * sx + x0, b[:, 3] * sy + y0,
+        ], axis=-1))
+        out_classes.append(classes[q])
+        out_valid.append(valid[q])
+
+    cand_boxes = jnp.concatenate(out_boxes)          # [4M, 4]
+    cand_classes = jnp.concatenate(out_classes)      # [4M]
+    cand_valid = jnp.concatenate(out_valid)          # [4M]
+    # compact valid candidates to the front, keep the first M (fixed capacity)
+    order = jnp.argsort(~cand_valid, stable=True)[:m]
+    return (
+        out,
+        cand_boxes[order],
+        cand_classes[order],
+        cand_valid[order],
+    )
+
+
+def mosaic_batch(
+    images: jnp.ndarray,   # [B, S, S, 3] uint8 or float
+    boxes: jnp.ndarray,    # [B, M, 4]
+    classes: jnp.ndarray,  # [B, M]
+    valid: jnp.ndarray,    # [B, M]
+    key: jnp.ndarray,
+    prob: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """In-batch device mosaic. Returns (images f32 [B,S,S,3], boxes,
+    classes, valid) with each output sample a 4-image collage with
+    probability ``prob``, else the original sample.
+
+    Slot 0 of each sample's picks is the sample itself, so every image
+    still appears in its own mosaic (standard mosaic semantics keep the
+    anchor sample in the top-left quadrant).
+    """
+    b, s = images.shape[0], images.shape[1]
+    imgs_f = images.astype(jnp.float32)
+    k1, k2, k3 = jax.random.split(key, 3)
+    picks = jax.random.randint(k1, (b, 3), 0, b)
+    self_idx = jnp.arange(b, dtype=picks.dtype)[:, None]
+    picks = jnp.concatenate([self_idx, picks], axis=1)      # [B, 4]
+
+    srcs = jnp.take(imgs_f, picks, axis=0)     # [B, 4, S, S, 3]
+    pb = jnp.take(boxes, picks, axis=0)        # [B, 4, M, 4]
+    pc = jnp.take(classes, picks, axis=0)
+    pv = jnp.take(valid, picks, axis=0)
+
+    centers = jax.random.uniform(k2, (b, 2), minval=0.3 * s, maxval=0.7 * s)
+    m_imgs, m_boxes, m_classes, m_valid = jax.vmap(_mosaic_one)(
+        srcs, pb.astype(jnp.float32), pc, pv, centers[:, 0], centers[:, 1]
+    )
+
+    if prob >= 1.0:
+        return m_imgs, m_boxes, m_classes, m_valid
+    take = jax.random.uniform(k3, (b,)) < prob
+    return (
+        jnp.where(take[:, None, None, None], m_imgs, imgs_f),
+        jnp.where(take[:, None, None], m_boxes, boxes.astype(jnp.float32)),
+        jnp.where(take[:, None], m_classes, classes),
+        jnp.where(take[:, None], m_valid, valid),
+    )
+
+
+def mixup_batch(
+    images: jnp.ndarray, boxes: jnp.ndarray, classes: jnp.ndarray,
+    valid: jnp.ndarray, key: jnp.ndarray, prob: float = 0.0,
+    alpha: float = 32.0,
+):
+    """Device mixup after mosaic (detection mixup: blend images, union
+    labels under fixed capacity — parity with yolo_dataset.mixup)."""
+    if prob <= 0.0:
+        return images, boxes, classes, valid
+    b, m = boxes.shape[0], boxes.shape[1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    perm = jax.random.permutation(k1, b)
+    lam = jax.random.beta(k2, alpha, alpha, (b,))
+    take = jax.random.uniform(k3, (b,)) < prob
+
+    other_i = jnp.take(images, perm, axis=0)
+    blended = lam[:, None, None, None] * images + (1 - lam[:, None, None, None]) * other_i
+    # union of labels, originals first (matches host mixup's concat order)
+    ub = jnp.concatenate([boxes, jnp.take(boxes, perm, axis=0)], axis=1)[:, :m]
+    uc = jnp.concatenate([classes, jnp.take(classes, perm, axis=0)], axis=1)[:, :m]
+    uv = jnp.concatenate([valid, jnp.take(valid, perm, axis=0)], axis=1)[:, :m]
+    return (
+        jnp.where(take[:, None, None, None], blended, images),
+        jnp.where(take[:, None, None], ub, boxes),
+        jnp.where(take[:, None], uc, classes),
+        jnp.where(take[:, None], uv, valid),
+    )

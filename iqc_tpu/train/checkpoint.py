@@ -33,15 +33,44 @@ def save_variables(path: str, variables, metadata: Optional[Dict] = None) -> Non
             json.dump(metadata, f, indent=2, default=str)
 
 
-def load_variables(path: str, template):
-    """Deserialize into the structure of ``template`` (shape-checked).
+def _state_dict_keys(d, prefix=()):
+    """Flatten a (possibly nested) state dict to dotted key paths."""
+    if isinstance(d, dict):
+        out = []
+        for k, v in d.items():
+            out.extend(_state_dict_keys(v, prefix + (str(k),)))
+        return out
+    return [".".join(prefix)]
 
-    flax.serialization.from_bytes validates the TREE structure but not leaf
-    shapes — a wrong-shape checkpoint would otherwise load silently and
-    surface later as a cryptic apply error (or broadcast wrongly). Check
-    every leaf shape against the template explicitly."""
+
+def load_variables(path: str, template):
+    """Deserialize into the structure of ``template`` (structure- and
+    shape-checked).
+
+    flax.serialization.from_bytes restores by key name and silently IGNORES
+    extra keys in the stored file — a checkpoint from a deeper architecture
+    partially restores into a shallower one (observed: a (3,4,6,3) ResNet-50
+    checkpoint "loading" into a (1,1,1,1) test model because the blocks_0
+    shapes coincide). Compare the stored key set against the template's
+    before restoring, then check every leaf shape."""
     with open(path, "rb") as f:
-        restored = serialization.from_bytes(template, f.read())
+        data = f.read()
+    raw = serialization.msgpack_restore(data)
+    target_sd = serialization.to_state_dict(
+        jax.tree_util.tree_map(np.asarray, template)
+    )
+    stored_keys = set(_state_dict_keys(raw))
+    target_keys = set(_state_dict_keys(target_sd))
+    if stored_keys != target_keys:
+        extra = sorted(stored_keys - target_keys)[:5]
+        missing = sorted(target_keys - stored_keys)[:5]
+        raise ValueError(
+            f"checkpoint structure mismatch: {len(stored_keys - target_keys)} "
+            f"key(s) not in model (e.g. {extra}), "
+            f"{len(target_keys - stored_keys)} model key(s) absent "
+            f"(e.g. {missing})"
+        )
+    restored = serialization.from_bytes(template, data)
     t_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
     r_leaves = jax.tree_util.tree_flatten_with_path(restored)[0]
     for (t_path, t_leaf), (_, r_leaf) in zip(t_leaves, r_leaves):

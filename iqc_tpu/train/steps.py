@@ -81,6 +81,23 @@ def softmax_cross_entropy(
     return jnp.mean(loss)
 
 
+def _device_normalize(images):
+    """uint8 batches normalize on device (ImageNet mean/std built from
+    scalar constants — array literals embed in the executable, which is
+    pathological on the tunnel backend, see ops/jit_utils.py). Sending
+    uint8 instead of host-normalized float32 cuts host->device transfer
+    4x — the dominant per-step cost for 224px batches over the tunnel.
+    Float inputs are assumed already normalized (backward compat)."""
+    if not jnp.issubdtype(images.dtype, jnp.integer):
+        return images
+    from iqc_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.stack([jnp.float32(m) for m in IMAGENET_MEAN])
+    std = jnp.stack([jnp.float32(s) for s in IMAGENET_STD])
+    return (x - mean) / std
+
+
 def make_classifier_train_step(
     module,
     optimizer: optax.GradientTransformation,
@@ -89,9 +106,11 @@ def make_classifier_train_step(
     """Returns step(state, images, labels, rng, class_weights) ->
     (state, metrics). class_weights [C] is a runtime argument (pass
     jnp.ones for unweighted) — embedded array constants are pathological
-    on the tunnel TPU backend (ops/jit_utils.py)."""
+    on the tunnel TPU backend (ops/jit_utils.py). Integer image batches
+    are normalized on device (_device_normalize)."""
 
     def step(state: TrainState, images, labels, rng, class_weights):
+        images = _device_normalize(images)
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits, updates = module.apply(
@@ -117,6 +136,7 @@ def make_classifier_train_step(
 
 def make_classifier_eval_step(module):
     def step(params, batch_stats, images, labels):
+        images = _device_normalize(images)
         logits = module.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
@@ -148,3 +168,53 @@ def shard_train_step(step_fn, spec: MeshSpec):
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+# -- single-transfer batch packing -------------------------------------------
+#
+# Each host->device transfer through the tunnel costs ~120 ms FIXED
+# (measured: uploading a detection batch as 4 arrays = 493 ms/step while the
+# step computes in ~100 ms). Packing the whole batch into ONE uint8 buffer
+# and bitcasting in-graph makes the upload a single transfer — the same
+# trick the serving path uses for outputs (models/ensemble.py packed path).
+# Single-device only: a flattened buffer has no batch axis to shard.
+
+
+def pack_batch_host(arrays) -> "np.ndarray":
+    """Concatenate host arrays into one uint8 buffer (C-order raw bytes)."""
+    import numpy as np
+
+    return np.concatenate(
+        [np.ascontiguousarray(a).reshape(-1).view(np.uint8) for a in arrays]
+    )
+
+
+def batch_specs(arrays):
+    """[(shape, dtype), ...] spec list for unpack_batch_device."""
+    import numpy as np
+
+    return [(tuple(a.shape), np.dtype(a.dtype)) for a in arrays]
+
+
+def unpack_batch_device(buf: jnp.ndarray, specs):
+    """In-graph inverse of pack_batch_host. bool unpacks via uint8 != 0
+    (bitcast to 1-bit bool is not a device op)."""
+    import numpy as np
+
+    out, off = [], 0
+    for shape, dtype in specs:
+        np_dt = np.dtype(dtype)
+        is_bool = np_dt == np.bool_
+        work_dt = np.dtype(np.uint8) if is_bool else np_dt
+        n = int(np.prod(shape)) * work_dt.itemsize
+        seg = buf[off : off + n]
+        off += n
+        if work_dt.itemsize == 1:
+            arr = seg.reshape(shape)
+        else:
+            arr = jax.lax.bitcast_convert_type(
+                seg.reshape(tuple(shape) + (work_dt.itemsize,)),
+                jnp.dtype(work_dt),
+            )
+        out.append(arr != 0 if is_bool else arr)
+    return out

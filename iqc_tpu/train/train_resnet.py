@@ -215,31 +215,75 @@ class ResNetTrainer:
         self._class_weights = replicate(self.mesh, self._class_weights)
         step = make_classifier_train_step(self.module, opt, c["label_smoothing"])
         self._train_step = shard_train_step(step, self.mesh)
+        self._raw_step = step
+        self._packed_compiled = {}
         self._eval_step = jax.jit(make_classifier_eval_step(self.module))
+
+    def _packed_step_for(self, specs_key, specs):
+        """jit cache of the single-buffer train step (mesh size 1 only)."""
+        fn = self._packed_compiled.get(specs_key)
+        if fn is None:
+            from iqc_tpu.train.steps import unpack_batch_device
+
+            raw = self._raw_step
+
+            def packed(state, buf, rng, class_weights):
+                images, labels = unpack_batch_device(buf, specs)
+                return raw(state, images, labels, rng, class_weights)
+
+            fn = self._packed_compiled[specs_key] = jax.jit(
+                packed, donate_argnums=(0,)
+            )
+        return fn
 
     # -- loops (train_resnet.py:358-497) ----------------------------------------------
 
     @staticmethod
     def _normalize(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        from iqc_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
-
-        imgs = batch["images"].astype(np.float32) / 255.0
-        imgs = (imgs - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
-        return {"images": imgs.astype(np.float32), "labels": batch["labels"]}
+        """Batches stay uint8 on the host — normalization happens on device
+        inside the train/eval steps (steps._device_normalize), cutting
+        host->device transfer 4x (38 MB -> 9.6 MB per 64x224px batch)."""
+        return {"images": batch["images"], "labels": batch["labels"]}
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         losses, accs = [], []
         t0 = time.time()
-        sharding = self.mesh.batch_sharding()
-        batches = (self._normalize(b) for b in self.train_loader)
-        for batch in device_prefetch(batches, sharding):
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, m = self._train_step(
-                self.state, batch["images"], batch["labels"], step_rng,
-                self._class_weights,
-            )
-            losses.append(m["loss"])
-            accs.append(m["accuracy"])
+        if self.mesh.mesh.size == 1:
+            # single-device: upload each batch as ONE packed uint8 buffer —
+            # a transfer through the tunnel costs ~120 ms fixed regardless of
+            # size, so fewer transfers beat sharded per-array uploads
+            # (steps.py packing notes); prefetch keeps uploads overlapped.
+            from iqc_tpu.train.steps import batch_specs, pack_batch_host
+
+            def packed_batches():
+                for b in self.train_loader:
+                    arrs = [np.asarray(b["images"]), np.asarray(b["labels"])]
+                    specs = batch_specs(arrs)
+                    key = tuple((t[0], str(t[1])) for t in specs)
+                    yield {"buf": pack_batch_host(arrs),
+                           "key": key, "specs": specs}
+
+            for batch in device_prefetch(
+                packed_batches(), leaves=("buf",)
+            ):
+                self.rng, step_rng = jax.random.split(self.rng)
+                fn = self._packed_step_for(batch["key"], batch["specs"])
+                self.state, m = fn(
+                    self.state, batch["buf"], step_rng, self._class_weights
+                )
+                losses.append(m["loss"])
+                accs.append(m["accuracy"])
+        else:
+            sharding = self.mesh.batch_sharding()
+            batches = (self._normalize(b) for b in self.train_loader)
+            for batch in device_prefetch(batches, sharding):
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, m = self._train_step(
+                    self.state, batch["images"], batch["labels"], step_rng,
+                    self._class_weights,
+                )
+                losses.append(m["loss"])
+                accs.append(m["accuracy"])
         if not losses:
             return {"loss": 0.0, "accuracy": 0.0, "epoch_seconds": 0.0}
         return {

@@ -53,6 +53,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "dfl_gain": 1.5,
     "mosaic": 1.0,
     "mixup": 0.0,
+    "device_mosaic": True,   # in-batch mosaic/mixup on device (ops/mosaic.py)
     "ema_decay": 0.9999,
     "width_mult": 0.25,
     "depth_mult": 0.334,
@@ -76,6 +77,11 @@ class YOLOTrainer:
         c = self.config
         self.rng = set_global_seed(c["seed"])
         self.mesh = create_mesh(mesh_config or MeshConfig())
+        # device mosaic is single-device only: in-batch source picks are a
+        # batch-axis gather, which would cross shards on a data-parallel mesh
+        self.uses_device_mosaic = bool(
+            c.get("device_mosaic", True) and self.mesh.mesh.size == 1
+        )
         dtype = jnp.bfloat16 if c["compute_dtype"] == "bfloat16" else jnp.float32
         self.module = YOLOv8(
             num_classes=c["num_classes"], width_mult=c["width_mult"],
@@ -122,7 +128,33 @@ class YOLOTrainer:
 
         # anchors/strides as runtime args (ops/jit_utils.py: embedded array
         # constants are pathological on the tunnel TPU backend)
+        use_dev_mosaic = self.uses_device_mosaic and (
+            c["mosaic"] > 0 or c["mixup"] > 0
+        )
+        mosaic_p, mixup_p, seed = c["mosaic"], c["mixup"], c["seed"]
+
         def step(state, ema, images, boxes, classes, valid, anchors, strides):
+            # uint8 batches scale on device: host .astype(f32)/255 quadruples
+            # the host->device transfer (the dominant per-step cost over the
+            # tunnel); float inputs pass through for backward compat
+            if jnp.issubdtype(images.dtype, jnp.integer):
+                images = images.astype(jnp.float32) / 255.0
+            if use_dev_mosaic:
+                # the host loader serves raw samples; the 660 ms/batch host
+                # collage becomes ~1.5 ms of masked interpolation matmuls
+                # (ops/mosaic.py). Key derives from the step counter, so the
+                # augmentation stream is deterministic and resume-stable.
+                from iqc_tpu.ops.mosaic import mixup_batch, mosaic_batch
+
+                k = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+                km, kx = jax.random.split(k)
+                images, boxes, classes, valid = mosaic_batch(
+                    images, boxes, classes, valid, km, prob=mosaic_p
+                )
+                images, boxes, classes, valid = mixup_batch(
+                    images, boxes, classes, valid, kx, prob=mixup_p
+                )
+
             def loss_fn(params):
                 vars_ = {"params": params, "batch_stats": state.batch_stats}
                 (dist, cls), updates = module.apply(
@@ -155,11 +187,64 @@ class YOLOTrainer:
             parts["loss"] = loss
             return new_state, new_ema, parts
 
+        anchors_r = replicate(self.mesh, self.anchors)
+        strides_r = replicate(self.mesh, self.strides)
         if self.mesh.mesh.size == 1:
             # plain jit on single-device meshes: the GSPMD sharding pipeline
-            # inflates this compile ~15x on the tunnel backend (train/steps.py)
-            self._train_step_fn = jax.jit(step, donate_argnums=(0, 1))
+            # inflates this compile ~15x on the tunnel backend (train/steps.py).
+            # The batch uploads as ONE packed uint8 buffer: each transfer
+            # through the tunnel costs ~120 ms fixed, so 4 arrays/step = 493 ms
+            # of pure upload vs ~100 ms of compute (measured; steps.py packing).
+            from iqc_tpu.train.steps import (
+                batch_specs, pack_batch_host, unpack_batch_device,
+            )
+
+            _compiled = {}
+
+            def run(st, ema, im, bx, cl, vl):
+                arrs = [np.asarray(im), np.asarray(bx), np.asarray(cl),
+                        np.asarray(vl)]
+                key = tuple((a.shape, str(a.dtype)) for a in arrs)
+                fn = _compiled.get(key)
+                if fn is None:
+                    specs = batch_specs(arrs)
+
+                    def packed_step(state, ema_, buf, anchors, strides):
+                        im_, bx_, cl_, vl_ = unpack_batch_device(buf, specs)
+                        return step(state, ema_, im_, bx_, cl_, vl_,
+                                    anchors, strides)
+
+                    fn = _compiled[key] = jax.jit(
+                        packed_step, donate_argnums=(0, 1)
+                    )
+                buf = jnp.asarray(pack_batch_host(arrs))
+                return fn(st, ema, buf, anchors_r, strides_r)
+
+            self._train_step = run
+
+            # device-resident corpus + whole-epoch scan (train() decides
+            # eligibility): ONE dispatch and ONE metrics fetch per epoch.
+            # Per-step the tunnel costs ~120 ms dispatch latency + ~350 ms
+            # uploading an 18.8 MB batch (53 MB/s measured) while the step
+            # computes in ~100 ms — a scanned epoch over a corpus already in
+            # HBM removes both.
+            def epoch_fn(state, ema, imgs, bxs, cls_, vld, idx_mat,
+                         anchors, strides):
+                def body(carry, idx_row):
+                    st_, ema_ = carry
+                    st_, ema_, parts = step(
+                        st_, ema_, imgs[idx_row], bxs[idx_row],
+                        cls_[idx_row], vld[idx_row], anchors, strides,
+                    )
+                    return (st_, ema_), parts
+
+                (state, ema), parts = jax.lax.scan(body, (state, ema), idx_mat)
+                return state, ema, parts
+
+            self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1))
+            self._anchors_r, self._strides_r = anchors_r, strides_r
         else:
+            self._epoch_fn = None
             repl = NamedSharding(self.mesh.mesh, P())
             batch_sh = NamedSharding(self.mesh.mesh, P(self.mesh.data_axis))
             self._train_step_fn = jax.jit(
@@ -169,16 +254,17 @@ class YOLOTrainer:
                 out_shardings=(repl, repl, repl),
                 donate_argnums=(0, 1),
             )
-        anchors_r = replicate(self.mesh, self.anchors)
-        strides_r = replicate(self.mesh, self.strides)
-        self._train_step = lambda st, ema, im, bx, cl, vl: self._train_step_fn(
-            st, ema, im, bx, cl, vl, anchors_r, strides_r
-        )
+            self._train_step = lambda st, ema, im, bx, cl, vl: self._train_step_fn(
+                st, ema, jnp.asarray(im), jnp.asarray(bx), jnp.asarray(cl),
+                jnp.asarray(vl), anchors_r, strides_r
+            )
 
         from iqc_tpu.ops.jit_utils import hoisted_jit
 
         @hoisted_jit
         def predict(params, batch_stats, images, conf_t, iou_t, anchors, strides):
+            if jnp.issubdtype(images.dtype, jnp.integer):
+                images = images.astype(jnp.float32) / 255.0
             dist, cls = module.apply(
                 {"params": params, "batch_stats": batch_stats}, images, train=False
             )
@@ -197,6 +283,44 @@ class YOLOTrainer:
 
     # -- training (reference train_yolo.py:117-179) --------------------------------
 
+    def _maybe_device_corpus(self, loader):
+        """Upload the full dataset to HBM once when it fits (device-resident
+        training data — the standard TPU pattern for small corpora). Returns
+        (imgs, boxes, classes, valid) device arrays or None to stream.
+
+        Eligible when: single-device mesh with the scanned epoch compiled,
+        device mosaic owns augmentation (the host loader must not also
+        augment), the dataset exposes load()/len, and the images fit under
+        IQC_DEVICE_CORPUS_MB (default 2048)."""
+        import os as _os
+
+        if self._epoch_fn is None or not self.uses_device_mosaic:
+            return None
+        if getattr(loader, "mosaic_prob", 1.0) or getattr(loader, "mixup_prob", 0.0):
+            return None
+        ds = getattr(loader, "ds", None)
+        if ds is None or not hasattr(ds, "load"):
+            return None
+        n = len(ds)
+        size = self.config["image_size"]
+        cap_mb = float(_os.environ.get("IQC_DEVICE_CORPUS_MB", "2048"))
+        if n == 0 or n * size * size * 3 / 2**20 > cap_mb:
+            return None
+        first = ds.load(0)
+        m = first[1].shape[0]
+        imgs = np.zeros((n, size, size, 3), np.uint8)
+        bxs = np.zeros((n, m, 4), np.float32)
+        cls_ = np.zeros((n, m), np.int32)
+        vld = np.zeros((n, m), bool)
+        for i in range(n):
+            im, bx, cl, vl = ds.load(i)
+            if im.shape[0] != size:
+                return None  # size mismatch: stream instead
+            imgs[i], bxs[i], cls_[i], vld[i] = im, bx, cl, vl
+        logger.info("device-resident corpus: %d images (%.0f MB) uploaded once",
+                    n, imgs.nbytes / 2**20)
+        return tuple(jax.device_put(x) for x in (imgs, bxs, cls_, vld))
+
     def train(self, train_loader: DetectionLoader,
               val_loader: Optional[DetectionLoader] = None,
               epochs: Optional[int] = None) -> Dict:
@@ -206,22 +330,35 @@ class YOLOTrainer:
             self.build(steps_per_epoch=len(train_loader))
         stopper = EarlyStopping(patience=c["patience"], mode="max")
         best_map = 0.0
+        corpus = self._maybe_device_corpus(train_loader)
+        steps_per_epoch = len(train_loader)
+        batch_size = train_loader.batch_size
+        idx_rng = np.random.default_rng(c["seed"])
         for epoch in range(epochs):
             t0 = time.time()
-            losses = []
-            for batch in train_loader:
-                self.state, self.ema_params, parts = self._train_step(
-                    self.state, self.ema_params,
-                    jnp.asarray(batch["images"].astype(np.float32) / 255.0),
-                    jnp.asarray(batch["boxes"]),
-                    jnp.asarray(batch["classes"]),
-                    jnp.asarray(batch["valid"]),
+            if corpus is not None:
+                # scanned epoch: index draws match the streaming loader's
+                # with-replacement sampling
+                idx = idx_rng.integers(
+                    0, corpus[0].shape[0], (steps_per_epoch, batch_size)
+                ).astype(np.int32)
+                self.state, self.ema_params, parts_t = self._epoch_fn(
+                    self.state, self.ema_params, *corpus,
+                    jnp.asarray(idx), self._anchors_r, self._strides_r,
                 )
-                losses.append(parts)
-            mean = {
-                k: float(np.mean([float(p[k]) for p in losses]))
-                for k in losses[0]
-            } if losses else {}
+                mean = {k: float(jnp.mean(v)) for k, v in parts_t.items()}
+            else:
+                losses = []
+                for batch in train_loader:
+                    self.state, self.ema_params, parts = self._train_step(
+                        self.state, self.ema_params, batch["images"],
+                        batch["boxes"], batch["classes"], batch["valid"],
+                    )
+                    losses.append(parts)
+                mean = {
+                    k: float(jnp.mean(jnp.stack([p[k] for p in losses])))
+                    for k in losses[0]
+                } if losses else {}
             row = {f"train_{k}": v for k, v in mean.items()}
             if val_loader is not None:
                 val = self.validate(val_loader)
@@ -248,7 +385,7 @@ class YOLOTrainer:
         for batch in loader:
             det = self._predict(
                 self.ema_params, self.state.batch_stats,
-                jnp.asarray(batch["images"].astype(np.float32) / 255.0),
+                jnp.asarray(batch["images"]),
                 jnp.float32(c["val_conf"]), jnp.float32(c["val_iou"]),
             )
             for i in range(len(batch["images"])):
@@ -317,8 +454,10 @@ def main() -> None:  # pragma: no cover
             os.path.join(args.data_dir, "labels/val"),
             c["image_size"], c["max_boxes"],
         )
+    host_mosaic = 0.0 if trainer.uses_device_mosaic else c["mosaic"]
+    host_mixup = 0.0 if trainer.uses_device_mosaic else c["mixup"]
     train_loader = DetectionLoader(
-        train_ds, c["batch_size"], mosaic_prob=c["mosaic"], mixup_prob=c["mixup"]
+        train_ds, c["batch_size"], mosaic_prob=host_mosaic, mixup_prob=host_mixup
     )
     val_loader = DetectionLoader(val_ds, c["batch_size"], mosaic_prob=0, mixup_prob=0,
                                  shuffle=False)

@@ -52,6 +52,10 @@ def tiny_config():
     return SystemConfig.from_dict(
         {
             "model": {
+                # never load repo-shipped checkpoints in tests: shapes don't
+                # match the tiny arch, and goldens are recorded vs seed-0 init
+                "yolo_weights": "",
+                "resnet_weights": "",
                 "width_mult": 0.125,
                 "depth_mult": 0.334,
                 "max_detections": 16,

@@ -238,6 +238,15 @@ def test_try_load_variables_corrupt_raises(tmp_path):
     with pytest.raises(ValueError, match="corrupt or incompatible"):
         try_load_variables(str(other), template)
 
+    # structure mismatch: extra keys in the file must NOT partially restore
+    # (flax from_bytes silently ignores them — a deeper architecture would
+    # otherwise "load" into a shallower model by name coincidence)
+    extra = tmp_path / "extra_keys.msgpack"
+    save_variables(str(extra), {"w": np.zeros((2, 2), np.float32),
+                                "v": np.ones((4,), np.float32)})
+    with pytest.raises(ValueError, match="structure mismatch"):
+        try_load_variables(str(extra), template)
+
 
 def test_ema_ramp_tracks_params_early():
     """EMA decay ramps from 0 (Ultralytics d*(1-exp(-t/2000))): after a few
@@ -363,3 +372,42 @@ def test_full_train_state_checkpoint_restores_optimizer(tmp_path):
         if np.asarray(a).size and np.abs(np.asarray(a)).sum() > 0:
             found_nonzero = True
     assert found_nonzero
+
+
+def test_resnet_trainer_packed_single_device_path():
+    """mesh size 1 takes the packed single-buffer upload path (one
+    host->device transfer per step, steps.pack_batch_host); must train
+    identically to the sharded path semantics."""
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_resnet import ResNetTrainer
+
+    rng = np.random.default_rng(0)
+    n = 16
+    images = np.concatenate([
+        rng.integers(0, 60, (n // 2, 32, 32, 3)),
+        rng.integers(190, 255, (n // 2, 32, 32, 3)),
+    ]).astype(np.uint8)
+    labels = np.asarray([0] * (n // 2) + [1] * (n // 2), np.int32)
+    ds = ArrayDataset(images, labels, ["dark", "bright"])
+
+    trainer = ResNetTrainer(
+        {
+            "num_classes": 2, "image_size": 32, "batch_size": 8, "epochs": 2,
+            "stage_sizes": [1, 1, 1, 1], "compute_dtype": "float32",
+            "learning_rate": 1e-2, "balanced_sampling": False,
+            "use_class_weights": False, "scheduler": "none",
+            "early_stopping_patience": 100,
+            "checkpoint_dir": "/tmp/iqc_test_ckpt_packed",
+        },
+        mesh_config=MeshConfig(data_parallel=1, model_parallel=1),
+    )
+    assert trainer.mesh.mesh.size == 1
+    trainer.setup_data(ds, ds, ds)
+    trainer.build(steps_per_epoch=len(trainer.train_loader))
+    m = trainer.train_epoch(0)
+    assert np.isfinite(m["loss"])
+    # the packed jit cache was actually exercised
+    assert len(trainer._packed_compiled) == 1
+    m2 = trainer.train_epoch(1)
+    assert len(trainer._packed_compiled) == 1  # same shape -> same executable
+    assert np.isfinite(m2["loss"])

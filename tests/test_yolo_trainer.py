@@ -104,3 +104,52 @@ def test_yolo_trainer_one_epoch_loss_decreases():
     val = trainer.validate(val_loader)
     assert set(val) >= {"mAP50", "mAP50_95", "precision", "recall"}
     assert 0.0 <= val["mAP50"] <= 1.0
+
+
+def test_trainer_device_mosaic_single_device():
+    """mesh size 1 + device_mosaic: the packed step applies in-batch mosaic
+    on device (host loader serves raw samples) and still learns."""
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = SyntheticDefectDataset(16, 64, 8, seed=0)
+    trainer = YOLOTrainer(
+        {
+            "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 1,
+            "width_mult": 0.125, "compute_dtype": "float32",
+            "warmup_epochs": 0, "device_mosaic": True, "mosaic": 1.0,
+        },
+        mesh_config=MeshConfig(data_parallel=1, model_parallel=1),
+    )
+    assert trainer.uses_device_mosaic
+    loader = DetectionLoader(ds, 8, mosaic_prob=0.0, mixup_prob=0.0)
+    report = trainer.train(loader, None, epochs=1)
+    assert report["epochs_trained"] == 1
+    final = report["final"]
+    assert np.isfinite(final["train_loss"])
+
+
+def test_trainer_device_corpus_scanned_epoch():
+    """Single-device + device mosaic + small dataset: the corpus uploads to
+    HBM once and each epoch runs as ONE scanned dispatch."""
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = SyntheticDefectDataset(16, 64, 8, seed=0)
+    trainer = YOLOTrainer(
+        {
+            "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 2,
+            "width_mult": 0.125, "compute_dtype": "float32",
+            "warmup_epochs": 0, "device_mosaic": True,
+        },
+        mesh_config=MeshConfig(data_parallel=1, model_parallel=1),
+    )
+    loader = DetectionLoader(ds, 8, mosaic_prob=0.0, mixup_prob=0.0)
+    trainer.build(steps_per_epoch=len(loader))
+    corpus = trainer._maybe_device_corpus(loader)
+    assert corpus is not None and corpus[0].shape == (16, 64, 64, 3)
+    report = trainer.train(loader, None, epochs=2)
+    assert report["epochs_trained"] == 2
+    assert np.isfinite(report["final"]["train_loss"])
+    # step counter advanced through the scan: 2 epochs x 2 steps
+    assert int(trainer.state.step) == 4
