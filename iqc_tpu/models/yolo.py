@@ -356,12 +356,17 @@ class YOLODetector:
             self.variables, batch,
             jnp.float32(self.confidence_threshold), jnp.float32(self.nms_threshold),
         )
+        # ONE bulk fetch: per-image device slicing costs a dispatch + fetch
+        # round trip per array (~120 ms each over the tunnel)
+        h_boxes, h_scores, h_classes, h_valid, h_sev = jax.device_get(
+            (det.boxes, det.scores, det.classes, det.valid, sev)
+        )
         dt = (time.perf_counter() - t0) * 1000
         results = []
         for i in range(len(images)):
             dets = self.parse_detections(
-                np.asarray(det.boxes[i]), np.asarray(det.scores[i]),
-                np.asarray(det.classes[i]), np.asarray(det.valid[i]), np.asarray(sev[i]),
+                h_boxes[i], h_scores[i],
+                h_classes[i], h_valid[i], h_sev[i],
                 scale=(
                     images[i].shape[0] / self.input_size[0],
                     images[i].shape[1] / self.input_size[1],

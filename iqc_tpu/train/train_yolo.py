@@ -364,6 +364,11 @@ class YOLOTrainer:
                 val = self.validate(val_loader)
                 row.update({f"val_{k}": v for k, v in val.items()
                             if isinstance(v, (int, float))})
+                if val["mAP50"] > best_map:
+                    # persist the best EMA weights as we go — a long run
+                    # killed by a timeout keeps its best epoch
+                    # (ref save_period semantics, train_yolo.py:139)
+                    self.save(os.path.join(c["checkpoint_dir"], "best_model.msgpack"))
                 best_map = max(best_map, val["mAP50"])
                 if stopper.step(val["mAP50"]):
                     self.metrics.update(row)
@@ -388,13 +393,19 @@ class YOLOTrainer:
                 jnp.asarray(batch["images"]),
                 jnp.float32(c["val_conf"]), jnp.float32(c["val_iou"]),
             )
+            # ONE bulk fetch per batch: per-image det.valid[i] slicing costs
+            # a device dispatch + fetch round trip EACH (4 arrays x batch
+            # images x ~120 ms on the tunnel = most of the epoch wall)
+            d_boxes, d_scores, d_classes, d_valid = jax.device_get(
+                (det.boxes, det.scores, det.classes, det.valid)
+            )
             for i in range(len(batch["images"])):
-                v = np.asarray(det.valid[i])
+                v = d_valid[i]
                 preds.append(
                     {
-                        "boxes": np.asarray(det.boxes[i])[v],
-                        "scores": np.asarray(det.scores[i])[v],
-                        "classes": np.asarray(det.classes[i])[v],
+                        "boxes": d_boxes[i][v],
+                        "scores": d_scores[i][v],
+                        "classes": d_classes[i][v],
                     }
                 )
                 gv = batch["valid"][i]
