@@ -133,17 +133,20 @@ class YOLOTrainer:
         )
         mosaic_p, mixup_p, seed = c["mosaic"], c["mixup"], c["seed"]
 
-        def step(state, ema, images, boxes, classes, valid, anchors, strides):
+        def make_step(apply_inbatch_mosaic: bool):
+          def step(state, ema, images, boxes, classes, valid, anchors, strides):
             # uint8 batches scale on device: host .astype(f32)/255 quadruples
             # the host->device transfer (the dominant per-step cost over the
             # tunnel); float inputs pass through for backward compat
             if jnp.issubdtype(images.dtype, jnp.integer):
                 images = images.astype(jnp.float32) / 255.0
-            if use_dev_mosaic:
+            if apply_inbatch_mosaic and use_dev_mosaic:
                 # the host loader serves raw samples; the 660 ms/batch host
                 # collage becomes ~1.5 ms of masked interpolation matmuls
                 # (ops/mosaic.py). Key derives from the step counter, so the
                 # augmentation stream is deterministic and resume-stable.
+                # (The device-corpus path applies corpus-wide mosaic in
+                # epoch_fn instead — see mosaic_from_corpus.)
                 from iqc_tpu.ops.mosaic import mixup_batch, mosaic_batch
 
                 k = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
@@ -176,9 +179,14 @@ class YOLOTrainer:
             # EMA decay warmup ramp (Ultralytics: d * (1 - exp(-updates/2000))):
             # a constant 0.9999 keeps ~85% weight on the random init even
             # after 1600 steps, so short trainings would validate/checkpoint
-            # near-random EMA weights (ADVICE r1).
+            # near-random EMA weights (ADVICE r1). The 2000-step time
+            # constant is tuned for base 0.9999; for faster bases it must
+            # shrink with the averaging window (1/(1-d)), else the ramp
+            # never reaches the base within a run — measured: base 0.995
+            # only hit d~0.90 after 4800 steps, i.e. no smoothing at all.
+            tau = min(2000.0, 1.0 / max(1.0 - ema_decay, 1e-6))
             step_f = state.step.astype(jnp.float32) + 1.0
-            d = ema_decay * (1.0 - jnp.exp(-step_f / 2000.0))
+            d = ema_decay * (1.0 - jnp.exp(-step_f / tau))
             new_ema = jax.tree_util.tree_map(
                 lambda e, p: d * e + (1 - d) * p, ema, params
             )
@@ -186,6 +194,11 @@ class YOLOTrainer:
             parts = dict(parts)
             parts["loss"] = loss
             return new_state, new_ema, parts
+
+          return step
+
+        step = make_step(apply_inbatch_mosaic=True)
+        step_core = make_step(apply_inbatch_mosaic=False)
 
         anchors_r = replicate(self.mesh, self.anchors)
         strides_r = replicate(self.mesh, self.strides)
@@ -230,11 +243,32 @@ class YOLOTrainer:
             # HBM removes both.
             def epoch_fn(state, ema, imgs, bxs, cls_, vld, idx_mat,
                          anchors, strides):
+                from iqc_tpu.ops.mosaic import mixup_batch, mosaic_from_corpus
+
                 def body(carry, idx_row):
                     st_, ema_ = carry
-                    st_, ema_, parts = step(
-                        st_, ema_, imgs[idx_row], bxs[idx_row],
-                        cls_[idx_row], vld[idx_row], anchors, strides,
+                    if use_dev_mosaic:
+                        # picks draw from the WHOLE corpus (host-mosaic
+                        # sampling semantics — in-batch picks cost ~2 mAP50
+                        # from intra-batch correlation, measured)
+                        k = jax.random.fold_in(
+                            jax.random.PRNGKey(seed), st_.step
+                        )
+                        km, kx = jax.random.split(k)
+                        b_i, b_b, b_c, b_v = mosaic_from_corpus(
+                            imgs, bxs, cls_, vld, idx_row, km, prob=mosaic_p
+                        )
+                        b_i = b_i / 255.0  # corpus is uint8-scaled
+                        b_i, b_b, b_c, b_v = mixup_batch(
+                            b_i, b_b, b_c, b_v, kx, prob=mixup_p
+                        )
+                    else:
+                        b_i, b_b, b_c, b_v = (
+                            imgs[idx_row], bxs[idx_row],
+                            cls_[idx_row], vld[idx_row],
+                        )
+                    st_, ema_, parts = step_core(
+                        st_, ema_, b_i, b_b, b_c, b_v, anchors, strides,
                     )
                     return (st_, ema_), parts
 

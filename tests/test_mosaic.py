@@ -71,17 +71,22 @@ def test_mosaic_quadrants_match_numpy_bilinear():
             if px1 <= px0 or py1 <= py0:
                 continue
             src = images[picks[i, q]].astype(np.float32)
-            # device resample: span anchored at the FLOAT corners
-            span_y, span_x = fy1 - fy0, fx1 - fx0
-            uy = np.clip(((np.arange(s) - fy0 + 0.5) * s / span_y - 0.5), 0, s - 1)
-            ux = np.clip(((np.arange(s) - fx0 + 0.5) * s / span_x - 0.5), 0, s - 1)
-            y0i = np.floor(uy).astype(int); y1i = np.minimum(y0i + 1, s - 1)
-            x0i = np.floor(ux).astype(int); x1i = np.minimum(x0i + 1, s - 1)
-            fyw = (uy - y0i)[:, None, None]; fxw = (ux - x0i)[None, :, None]
-            res = (src[y0i][:, x0i] * (1 - fyw) * (1 - fxw)
-                   + src[y0i][:, x1i] * (1 - fyw) * fxw
-                   + src[y1i][:, x0i] * fyw * (1 - fxw)
-                   + src[y1i][:, x1i] * fyw * fxw)
+            # device resample: antialiased triangle filter (support widened
+            # by the downscale factor), rows renormalized — same formula as
+            # ops/mosaic._interp_matrix
+            def w_mat(f0, f1):
+                span = max(f1 - f0, 1.0)
+                f = max(s / span, 1.0)
+                ii = np.arange(s)[:, None]
+                jj = np.arange(s)[None, :]
+                u = (ii - f0 + 0.5) * s / span - 0.5
+                w = np.maximum(0.0, 1.0 - np.abs(u - jj) / f)
+                return w / np.maximum(w.sum(1, keepdims=True), 1e-8)
+
+            wy = w_mat(fy0, fy1)
+            wx = w_mat(fx0, fx1)
+            res = np.einsum("ij,jkc->ikc", wy, src)
+            res = np.einsum("ikc,lk->ilc", res, wx)
             got = out_i[i, py0:py1, px0:px1]
             want = res[py0:py1, px0:px1]
             # bf16 matmuls: ~3 decimal digits

@@ -374,12 +374,13 @@ def test_full_train_state_checkpoint_restores_optimizer(tmp_path):
     assert found_nonzero
 
 
-def test_resnet_trainer_packed_single_device_path():
-    """mesh size 1 takes the packed single-buffer upload path (one
-    host->device transfer per step, steps.pack_batch_host); must train
-    identically to the sharded path semantics."""
+def test_resnet_trainer_packed_single_device_path(monkeypatch):
+    """mesh size 1 with the device corpus disabled falls back to the packed
+    single-buffer upload path (one host->device transfer per step)."""
     from iqc_tpu.config import MeshConfig
     from iqc_tpu.train.train_resnet import ResNetTrainer
+
+    monkeypatch.setenv("IQC_DEVICE_CORPUS_MB", "0")
 
     rng = np.random.default_rng(0)
     n = 16
@@ -411,3 +412,39 @@ def test_resnet_trainer_packed_single_device_path():
     m2 = trainer.train_epoch(1)
     assert len(trainer._packed_compiled) == 1  # same shape -> same executable
     assert np.isfinite(m2["loss"])
+
+
+def test_resnet_trainer_device_corpus_scanned_epoch():
+    """Single-device classifier training uses the HBM-resident corpus +
+    one scanned dispatch per epoch."""
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_resnet import ResNetTrainer
+
+    rng = np.random.default_rng(0)
+    n = 16
+    images = np.concatenate([
+        rng.integers(0, 60, (n // 2, 32, 32, 3)),
+        rng.integers(190, 255, (n // 2, 32, 32, 3)),
+    ]).astype(np.uint8)
+    labels = np.asarray([0] * (n // 2) + [1] * (n // 2), np.int32)
+    ds = ArrayDataset(images, labels, ["dark", "bright"])
+    trainer = ResNetTrainer(
+        {
+            "num_classes": 2, "image_size": 32, "batch_size": 8, "epochs": 2,
+            "stage_sizes": [1, 1, 1, 1], "compute_dtype": "float32",
+            "learning_rate": 1e-2, "balanced_sampling": True,
+            "use_class_weights": False, "scheduler": "none",
+            "early_stopping_patience": 100,
+            "checkpoint_dir": "/tmp/iqc_test_ckpt_corpus",
+        },
+        mesh_config=MeshConfig(data_parallel=1, model_parallel=1),
+    )
+    trainer.setup_data(ds, ds, ds)
+    trainer.build(steps_per_epoch=len(trainer.train_loader))
+    assert trainer._maybe_device_corpus() is not None
+    m = trainer.train_epoch(0)
+    assert np.isfinite(m["loss"])
+    assert int(trainer.state.step) == len(trainer.train_loader)
+    m2 = trainer.train_epoch(1)
+    assert int(trainer.state.step) == 2 * len(trainer.train_loader)
+    assert np.isfinite(m2["accuracy"])
