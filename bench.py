@@ -144,14 +144,29 @@ def main() -> None:
     yolo_vars = yolo.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32), train=False)
     resnet_vars = resnet.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32), train=False)
 
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
+    resnet_apply = None
+    if precision == "int8":
+        # TRUE int8 MXU path for the crop classifier (models/resnet_int8.py)
+        from iqc_tpu.models import resnet_int8
+
+        q = resnet_int8.quantize_resnet(resnet_vars)
+        cal = jax.random.normal(rng, (16, 224, 224, 3), jnp.float32)
+        scales = resnet_int8.calibrate_activation_scales(q, [cal])
+        resnet_vars = {"q": jax.device_put(q), "scales": jax.device_put(scales)}
+        resnet_apply = lambda v, xx: resnet_int8.apply(
+            v["q"], xx, act_scales=v["scales"]
+        )
+
     if full:
         fwd = build_full_forward(
             yolo, resnet, (640, 640), m.max_detections, m.max_classified,
-            max_segmented=m.max_segmented,
+            max_segmented=m.max_segmented, resnet_apply=resnet_apply,
         )
     else:
         fwd = build_ensemble_forward(
-            yolo, resnet, (640, 640), m.max_detections, m.max_classified
+            yolo, resnet, (640, 640), m.max_detections, m.max_classified,
+            resnet_apply=resnet_apply,
         )
 
     def small_out(out):
@@ -224,7 +239,7 @@ def main() -> None:
         "peak_tflops_assumed": peak,
         "device": str(device),
         "device_kind": getattr(device, "device_kind", "?"),
-        "dtype": "bfloat16",
+        "dtype": "bfloat16" if precision != "int8" else "bf16+int8-resnet",
         "max_detections": m.max_detections,
         "max_classified_crops": m.max_classified,
         "segmentation_included": full,

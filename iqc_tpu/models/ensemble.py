@@ -42,6 +42,13 @@ from iqc_tpu.ops.nms import Detections, decode_and_nms, make_anchors
 SEVERITY_NAMES = ("minor", "major", "critical")
 
 
+def _tree_bytes(tree) -> int:
+    return sum(
+        int(np.prod(x.shape)) * np.dtype(x.dtype).itemsize
+        for x in jax.tree_util.tree_leaves(tree)
+    )
+
+
 class EnsembleOutputs(NamedTuple):
     """Device-side outputs of the fused graph (all fixed capacity K)."""
 
@@ -69,6 +76,7 @@ def build_ensemble_forward(
     max_detections: int,
     max_classified: int,
     classifier_input: int = 224,
+    resnet_apply=None,
 ):
     """Return the pure fused forward fn (jit it once, reuse forever).
 
@@ -79,6 +87,8 @@ def build_ensemble_forward(
     literals are pathological on the tunnel backend (ops/jit_utils.py).
     """
     kc = max_classified
+    if resnet_apply is None:
+        resnet_apply = lambda v, xx: resnet.apply(v, xx, train=False)
 
     def forward(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,
                 anchors, strides):
@@ -100,7 +110,7 @@ def build_ensemble_forward(
         # --- whole-image classification (reference's parallel ResNet branch) ---
         ci = classifier_input
         xg = preprocess_for_classifier(x, ci)
-        global_logits = resnet.apply(resnet_vars, xg, train=False)
+        global_logits = resnet_apply(resnet_vars, xg)
         global_probs = jax.nn.softmax(global_logits.astype(jnp.float32), axis=-1)
 
         # --- real per-crop classification on the top-Kc survivors ---
@@ -110,7 +120,7 @@ def build_ensemble_forward(
             x, crop_boxes
         )  # [B,kc,ci,ci,3]
         crops_flat = imops.normalize_imagenet(crops.reshape(b * kc, ci, ci, 3))
-        crop_logits = resnet.apply(resnet_vars, crops_flat, train=False)
+        crop_logits = resnet_apply(resnet_vars, crops_flat)
         crop_probs = jax.nn.softmax(crop_logits.astype(jnp.float32), axis=-1)
         crop_probs = crop_probs.reshape(b, kc, -1)
         cc_conf = jnp.max(crop_probs, axis=-1)
@@ -173,6 +183,7 @@ def build_full_forward(
     classifier_input: int = 224,
     max_segmented: int = 16,
     roi_size: int = 128,
+    resnet_apply=None,
 ):
     """The complete streaming pipeline as ONE program (BASELINE config #5):
     detection + per-crop classification + fusion (build_ensemble_forward)
@@ -188,7 +199,8 @@ def build_full_forward(
     from iqc_tpu.ops.segmentation import segment_rois
 
     ens_fwd = build_ensemble_forward(
-        yolo, resnet, input_size, max_detections, max_classified, classifier_input
+        yolo, resnet, input_size, max_detections, max_classified, classifier_input,
+        resnet_apply=resnet_apply,
     )
     s = max_segmented
 
@@ -359,21 +371,44 @@ class EnsemblePredictor:
             self.resnet, (1, ci, ci, 3), resnet_weights or m.resnet_weights
         )
 
-        # serving precision (TensorRT-equivalent edge config, config.yaml:139-150):
-        # int8 = weight-only quantize + dequantize-on-load through XLAOptimizer
+        # serving precision (TensorRT-equivalent edge config, config.yaml:139-150).
+        # int8 = TRUE int8 MXU inference for the ResNet crop classifier
+        # (int8 convs run at 2x the bf16 rate on v5e — models/resnet_int8.py,
+        # activation scales calibrated on synthetic defect crops, the
+        # calibration-dataset step of config.yaml:148-150) + weight-only
+        # int8 storage for the YOLO detector (small-channel convs are not
+        # MXU-bound, so integer matmuls would not pay there).
         self.precision_report = None
+        self._resnet_apply = None
         if cfg.edge.precision == "int8":
+            from iqc_tpu.models import resnet_int8
             from iqc_tpu.models.optimizer import XLAOptimizer
 
-            for attr in ("yolo_vars", "resnet_vars"):
-                opt = XLAOptimizer(precision="int8")
-                lowered, report = opt.optimize_variables(getattr(self, attr))
-                setattr(self, attr, lowered)
-                self.precision_report = report  # per-model reports are identical in shape
+            opt = XLAOptimizer(precision="int8")
+            self.yolo_vars, yolo_report = opt.optimize_variables(self.yolo_vars)
+            stage_sizes = tuple(m.resnet_stages)
+            fp_bytes = _tree_bytes(self.resnet_vars)
+            q = resnet_int8.quantize_resnet(self.resnet_vars, stage_sizes)
+            scales = resnet_int8.calibrate_activation_scales(
+                q, self._calibration_batches(ci), stage_sizes
+            )
+            self.resnet_vars = {"q": q, "scales": scales}
+            self._resnet_apply = lambda v, xx: resnet_int8.apply(
+                v["q"], xx, stage_sizes=stage_sizes, act_scales=v["scales"]
+            )
+            q_bytes = resnet_int8.tree_size_bytes(q)
+            self.precision_report = {
+                "precision": "int8",
+                "resnet": "true-int8 MXU (static calibrated activations)",
+                "yolo": "weight-only int8 storage",
+                "resnet_size_reduction_percent": round(100.0 * (1 - q_bytes / max(fp_bytes, 1)), 1),
+                "yolo_size_reduction_percent": round(yolo_report["size_reduction_percent"], 1),
+            }
 
         fwd = build_ensemble_forward(
             self.yolo, self.resnet, self.input_size,
             self.max_detections, self.max_classified, classifier_input=ci,
+            resnet_apply=self._resnet_apply,
         )
         anchors, strides = make_anchors(feature_shapes(self.input_size), STRIDES)
         self._anchors = jax.device_put(anchors)
@@ -385,6 +420,38 @@ class EnsemblePredictor:
             lambda *a: pack_outputs(fwd(*a))
         )
         self._forward_full = None  # built lazily (adds segmentation compile)
+
+    def _calibration_batches(self, ci: int, n: int = 24):
+        """ImageNet-normalized synthetic defect crops for int8 activation
+        calibration (the reference's calibration_dataset, config.yaml:148-150).
+        Rendering is procedural — no external data needed."""
+        from iqc_tpu.data.yolo_dataset import SyntheticDefectDataset
+        from iqc_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+        ds = SyntheticDefectDataset(n, 320, 8, seed=123, cache=False)
+        crops = []
+        for i in range(n):
+            img, boxes, classes, valid = ds.load(i)
+            s0 = img.shape[0]
+            if valid.any():
+                x1, y1, x2, y2 = boxes[np.argmax(valid)]
+                cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+                half = max(x2 - x1, y2 - y1, 32) / 2 * 1.3
+                x1 = int(np.clip(cx - half, 0, s0 - 2))
+                y1 = int(np.clip(cy - half, 0, s0 - 2))
+                x2 = int(np.clip(cx + half, x1 + 2, s0))
+                y2 = int(np.clip(cy + half, y1 + 2, s0))
+                patch = img[y1:y2, x1:x2]
+            else:
+                patch = img
+            from PIL import Image
+
+            crops.append(np.asarray(
+                Image.fromarray(patch).resize((ci, ci)), np.float32
+            ))
+        arr = np.stack(crops) / 255.0
+        arr = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        yield jnp.asarray(arr.astype(np.float32))
 
     @staticmethod
     def _init_or_load(module, dummy_shape, path):
@@ -449,6 +516,7 @@ class EnsemblePredictor:
                     classifier_input=m.classifier_input,
                     max_segmented=m.max_segmented,
                     roi_size=m.seg_roi_size,
+                    resnet_apply=self._resnet_apply,
                 )
             )
         det, img, masks, seg_stats = jax.device_get(

@@ -160,7 +160,9 @@ def test_int8_serving_precision(tiny_config, rng):
     cfg.edge.precision = "int8"
     pred = EnsemblePredictor(config=cfg)
     assert pred.precision_report is not None
-    assert pred.precision_report["size_reduction_percent"] > 60.0
+    assert pred.precision_report["resnet"].startswith("true-int8")
+    assert pred.precision_report["resnet_size_reduction_percent"] > 50.0
+    assert pred.precision_report["yolo_size_reduction_percent"] > 60.0
     info = pred.get_model_info()
     assert info["serving_precision"] == "int8"
     img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
