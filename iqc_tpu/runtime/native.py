@@ -78,6 +78,16 @@ def _load_library():
         lib.lh_count.argtypes = [ctypes.c_void_p]
         lib.lh_mean.restype = ctypes.c_double
         lib.lh_mean.argtypes = [ctypes.c_void_p]
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        ip = ctypes.POINTER(ctypes.c_int)
+        lib.iqc_jpeg_info.restype = ctypes.c_int
+        lib.iqc_jpeg_info.argtypes = [u8p, ctypes.c_size_t, ip, ip]
+        lib.iqc_jpeg_decode.restype = ctypes.c_int
+        lib.iqc_jpeg_decode.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_int, u8p, ctypes.c_size_t,
+            ip, ip, ip,
+        ]
         _lib = lib
         return _lib
 
@@ -238,3 +248,40 @@ class LatencyHistogram:
                 self._lib.lh_destroy(self._ptr)
             except Exception:
                 pass
+
+
+def decode_jpeg(data: bytes, target: int = 0):
+    """Native libjpeg decode -> RGB uint8 [H,W,3], or None (caller falls
+    back to PIL for non-JPEG/odd files).
+
+    ``target``: largest model dimension the caller will resize to. When the
+    source is larger, DCT-domain scale_denom 2/4/8 decodes directly at
+    reduced resolution — decode cost drops with the pixel count, and the
+    pipeline's bilinear resize runs on far fewer pixels too. The chosen
+    scale keeps the decoded image >= target so downstream quality is the
+    same as decode-then-resize (serving hot path: one CPU, PIL decode
+    ~7 ms/640px image vs ~114 ms device compute per batch-32)."""
+    lib = _load_library()
+    if not lib or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.iqc_jpeg_info(buf, len(data), ctypes.byref(w), ctypes.byref(h)):
+        return None
+    scale = 1
+    if target > 0:
+        while scale < 8 and min(w.value, h.value) // (scale * 2) >= target:
+            scale *= 2
+    ow = (w.value + scale - 1) // scale
+    oh = (h.value + scale - 1) // scale
+    out = np.empty(((oh + 1) * (ow + 1) * 3,), np.uint8)
+    c = ctypes.c_int()
+    rc = lib.iqc_jpeg_decode(
+        buf, len(data), scale,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes,
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(c),
+    )
+    if rc or c.value != 3:
+        return None
+    return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()

@@ -100,3 +100,37 @@ def test_latency_histogram_concurrent():
         t.join()
     assert h.count() == 4000
     assert h.summary()["p50_ms"] == pytest.approx(10.0, rel=0.1)
+
+
+def test_native_jpeg_decode_matches_pil():
+    """libjpeg decode parity with PIL (IFAST DCT: <=1 LSB on real content)
+    + DCT-domain downscale toward a target size."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from iqc_tpu.runtime.native import decode_jpeg, native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    yy, xx = np.mgrid[:512, :512]
+    img = np.stack([(120 + 40 * np.sin(xx / 50) + 30 * np.cos(yy / 40))
+                    .astype(np.uint8)] * 3, -1)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+
+    full = decode_jpeg(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert full.shape == pil.shape
+    assert np.abs(full.astype(int) - pil.astype(int)).max() <= 2
+
+    # scaled decode: min dim 512 -> target 128 admits scale 4 => 128px
+    small = decode_jpeg(data, target=128)
+    assert small.shape == (128, 128, 3)
+
+    # non-JPEG bytes -> None (caller falls back to PIL)
+    assert decode_jpeg(b"not a jpeg") is None
