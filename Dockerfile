@@ -14,7 +14,7 @@ ENV PYTHONUNBUFFERED=1 \
     PIP_NO_CACHE_DIR=1
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
-        build-essential curl && \
+        build-essential curl libjpeg62-turbo-dev && \
     rm -rf /var/lib/apt/lists/*
 
 # JAX with the TPU runtime (libtpu comes from the jax[tpu] extra)

@@ -425,6 +425,8 @@ class EnsemblePredictor:
         """ImageNet-normalized synthetic defect crops for int8 activation
         calibration (the reference's calibration_dataset, config.yaml:148-150).
         Rendering is procedural — no external data needed."""
+        from PIL import Image
+
         from iqc_tpu.data.yolo_dataset import SyntheticDefectDataset
         from iqc_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
 
@@ -444,8 +446,6 @@ class EnsemblePredictor:
                 patch = img[y1:y2, x1:x2]
             else:
                 patch = img
-            from PIL import Image
-
             crops.append(np.asarray(
                 Image.fromarray(patch).resize((ci, ci)), np.float32
             ))

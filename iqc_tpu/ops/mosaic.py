@@ -17,11 +17,11 @@ masks select which resample feeds each output pixel. Everything is static
 shape; the whole batch costs ~100 GFLOP ≈ 1.5 ms on a v5e — 400x faster
 than the host path it replaces.
 
-In-batch source picks make sample augmentations within one batch slightly
-correlated (picks come from the same pool of B images instead of the whole
-dataset); with shuffled loaders each epoch re-pools, and this is the
-standard efficiency trade (e.g. in-batch mosaic in several detection
-frameworks).
+Two pick modes: ``mosaic_batch`` draws companions from the current batch
+(streaming path — the only images on device), ``mosaic_from_corpus`` draws
+from the whole HBM-resident dataset (device-corpus training path — exact
+host-mosaic sampling semantics; in-batch correlation measurably costs a
+couple of mAP50 points).
 """
 
 from __future__ import annotations

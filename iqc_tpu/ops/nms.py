@@ -175,10 +175,11 @@ def nms_single(
     else:
         iou_boxes = top_boxes
 
+    pallas = use_pallas if use_pallas is not None else _pallas_suppression_default()
     if iterations is None:
         iou = iou_matrix(iou_boxes, iou_boxes)
         keep = _suppression_exact(iou, iou_threshold)
-    elif use_pallas if use_pallas is not None else _pallas_suppression_default():
+    elif pallas:
         from iqc_tpu.ops.pallas_nms import pallas_suppression
 
         keep = pallas_suppression(
