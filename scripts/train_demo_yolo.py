@@ -26,7 +26,9 @@ def main() -> None:
     image_size = int(os.environ.get("IMAGE_SIZE", "320"))
     out = os.environ.get("OUT", "models/yolov8n_qc_synthetic.msgpack")
 
+    seed = int(os.environ.get("SEED", "42"))
     trainer = YOLOTrainer({
+        "seed": seed,
         "image_size": image_size,
         "epochs": epochs,
         "learning_rate": 0.008,
@@ -51,6 +53,7 @@ def main() -> None:
                   if isinstance(v, (int, float))},
         "n_images": n_images, "image_size": image_size,
         "epochs": report["epochs_trained"],
+        "seed": seed,
         "pipeline": "device corpus + scanned epochs + device mosaic",
     }
     with open(out + ".train_report.json", "w") as f:
