@@ -254,17 +254,25 @@ class DetectionLoader:
     def __len__(self) -> int:
         return max(len(self.ds) // self.batch_size, 1)
 
-    def _sample(self, idx_pool: np.ndarray, rng: Optional[np.random.Generator] = None):
+    def _sample(self, index: int, idx_pool: np.ndarray,
+                rng: Optional[np.random.Generator] = None):
+        """One sample anchored at dataset ``index``; mosaic/mixup companions
+        draw randomly from ``idx_pool``. Without augmentation this is a
+        plain deterministic load — evaluation loaders enumerate the dataset
+        exactly once per epoch (an earlier version drew every sample with
+        replacement, which made validation metrics a *random resample* of
+        the val set: repeated validate() calls on identical weights
+        differed by several mAP points)."""
         rng = self._rng if rng is None else rng
-        if rng.uniform() < self.mosaic_prob:
-            picks = rng.choice(idx_pool, 4)
+        if self.mosaic_prob > 0 and rng.uniform() < self.mosaic_prob:
+            picks = [index] + [int(i) for i in rng.choice(idx_pool, 3)]
             sample = mosaic4(
                 [self.ds.load(int(i)) for i in picks],
                 self.ds.image_size, self.ds.max_boxes, rng,
             )
         else:
-            sample = self.ds.load(int(rng.choice(idx_pool)))
-        if rng.uniform() < self.mixup_prob:
+            sample = self.ds.load(int(index))
+        if self.mixup_prob > 0 and rng.uniform() < self.mixup_prob:
             other = self.ds.load(int(rng.choice(idx_pool)))
             sample = mixup(sample, other, rng)
         return sample
@@ -274,7 +282,12 @@ class DetectionLoader:
         if self.shuffle:
             self._rng.shuffle(idx)
         for b in range(len(self)):
-            samples = [self._sample(idx) for _ in range(self.batch_size)]
+            anchors = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(anchors) < self.batch_size:  # wrap the tail (fixed capacity)
+                anchors = np.concatenate(
+                    [anchors, idx[: self.batch_size - len(anchors)]]
+                )
+            samples = [self._sample(int(a), idx) for a in anchors]
             imgs, boxes, classes, valid = zip(*samples)
             yield {
                 "images": np.stack(imgs),

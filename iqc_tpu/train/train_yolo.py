@@ -54,6 +54,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "mosaic": 1.0,
     "mixup": 0.0,
     "device_mosaic": True,   # in-batch mosaic/mixup on device (ops/mosaic.py)
+    "mosaic_antialias": False,  # AA measurably hurts (see ops/mosaic._interp_matrix)
     "ema_decay": 0.9999,
     "width_mult": 0.25,
     "depth_mult": 0.334,
@@ -132,6 +133,7 @@ class YOLOTrainer:
             c["mosaic"] > 0 or c["mixup"] > 0
         )
         mosaic_p, mixup_p, seed = c["mosaic"], c["mixup"], c["seed"]
+        mosaic_aa = bool(c.get("mosaic_antialias", True))
 
         def make_step(apply_inbatch_mosaic: bool):
           def step(state, ema, images, boxes, classes, valid, anchors, strides):
@@ -152,7 +154,8 @@ class YOLOTrainer:
                 k = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
                 km, kx = jax.random.split(k)
                 images, boxes, classes, valid = mosaic_batch(
-                    images, boxes, classes, valid, km, prob=mosaic_p
+                    images, boxes, classes, valid, km, prob=mosaic_p,
+                    antialias=mosaic_aa,
                 )
                 images, boxes, classes, valid = mixup_batch(
                     images, boxes, classes, valid, kx, prob=mixup_p
@@ -256,7 +259,8 @@ class YOLOTrainer:
                         )
                         km, kx = jax.random.split(k)
                         b_i, b_b, b_c, b_v = mosaic_from_corpus(
-                            imgs, bxs, cls_, vld, idx_row, km, prob=mosaic_p
+                            imgs, bxs, cls_, vld, idx_row, km, prob=mosaic_p,
+                            antialias=mosaic_aa,
                         )
                         b_i = b_i / 255.0  # corpus is uint8-scaled
                         b_i, b_b, b_c, b_v = mixup_batch(

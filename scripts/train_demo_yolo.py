@@ -27,8 +27,11 @@ def main() -> None:
     out = os.environ.get("OUT", "models/yolov8n_qc_synthetic.msgpack")
 
     seed = int(os.environ.get("SEED", "42"))
+    device_mosaic = os.environ.get("DEVICE_MOSAIC", "1") == "1"
     trainer = YOLOTrainer({
         "seed": seed,
+        "device_mosaic": device_mosaic,
+        "mosaic_antialias": os.environ.get("MOSAIC_AA", "1") == "1",
         "image_size": image_size,
         "epochs": epochs,
         "learning_rate": 0.008,

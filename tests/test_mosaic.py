@@ -42,8 +42,10 @@ def _batch(b=4, s=64, m=6, seed=0):
 def test_mosaic_quadrants_match_numpy_bilinear():
     images, boxes, classes, valid = _batch()
     key = jax.random.PRNGKey(0)
+    # antialias=True exercises the full filtered formula the oracle encodes;
+    # the default (False) is the f=1 special case of the same matrix
     out_i, out_b, out_c, out_v = jax.jit(
-        lambda *a: mosaic_batch(*a, prob=1.0)
+        lambda *a: mosaic_batch(*a, prob=1.0, antialias=True)
     )(jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(classes),
       jnp.asarray(valid), key)
     out_i = np.asarray(out_i)

@@ -153,3 +153,21 @@ def test_trainer_device_corpus_scanned_epoch():
     assert np.isfinite(report["final"]["train_loss"])
     # step counter advanced through the scan: 2 epochs x 2 steps
     assert int(trainer.state.step) == 4
+
+
+def test_loader_without_augmentation_is_deterministic_enumeration():
+    """shuffle=False + no mosaic/mixup must enumerate the dataset exactly
+    (repeat iteration -> identical batches); validation metrics on fixed
+    weights are then deterministic (regression: samples were drawn with
+    replacement, making every validate() a random resample)."""
+    ds = SyntheticDefectDataset(20, 64, 8, seed=0)
+    loader = DetectionLoader(ds, 8, mosaic_prob=0.0, mixup_prob=0.0,
+                             shuffle=False, prefetch=0)
+    a = [b["images"].copy() for b in loader]
+    b = [bb["images"].copy() for bb in loader]
+    assert len(a) == len(b) == 2  # 20 // 8
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    # first batch is exactly samples 0..7 in order
+    np.testing.assert_array_equal(a[0][0], ds.load(0)[0])
+    np.testing.assert_array_equal(a[0][7], ds.load(7)[0])
