@@ -158,6 +158,13 @@ class ServingConfig:
     rate_limit_enabled: bool = True
     requests_per_minute: int = 1000
     metrics_port: int = 9090
+    # Authentication surface (reference config.yaml:162-166 declares a JWT
+    # block it never reads; we honor it as a static API-key check).
+    auth_enabled: bool = False
+    api_keys: Tuple[str, ...] = ()
+    # SPC report exports are confined to this directory (the reference's
+    # /api/spc/export writes any client-supplied path — routes.py:417-443).
+    reports_dir: str = "reports"
 
 
 @dataclass
@@ -243,12 +250,21 @@ class SystemConfig:
 
         # Reference nests rate limiting under api.rate_limiting
         rl = dict(api_raw.pop("rate_limiting", {}) or {})
+        # Reference nests auth under api.authentication (config.yaml:162-166)
+        auth = dict(api_raw.pop("authentication", {}) or {})
+        if "api_keys" in api_raw:
+            api_raw["api_keys"] = tuple(api_raw["api_keys"] or ())
         api = _build(ServingConfig, api_raw)
         if rl:
             api.rate_limit_enabled = bool(rl.get("enabled", api.rate_limit_enabled))
             api.requests_per_minute = int(
                 rl.get("requests_per_minute", api.requests_per_minute)
             )
+        if auth:
+            api.auth_enabled = bool(auth.get("enabled", api.auth_enabled))
+            keys = auth.get("api_keys")
+            if keys:
+                api.api_keys = tuple(str(k) for k in keys)
 
         cfg = cls(
             model=model,

@@ -123,6 +123,41 @@ class MVTecDetectionDataset:
         return image, boxes, classes, valid
 
 
+class SubsetDataset:
+    """Index-subset view over any load()/len dataset (MVTec puts every
+    defect image under test/, so supervised training splits that pool into
+    train/val deterministically)."""
+
+    def __init__(self, ds, indices: Sequence[int]):
+        self.ds = ds
+        self.indices = list(int(i) for i in indices)
+        for attr in ("image_size", "max_boxes", "class_names"):
+            if hasattr(ds, attr):
+                setattr(self, attr, getattr(ds, attr))
+        if hasattr(ds, "labels"):
+            self.labels = np.asarray(ds.labels)[self.indices]
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def load(self, index: int):
+        return self.ds.load(self.indices[index])
+
+    def class_counts(self) -> np.ndarray:
+        if not hasattr(self, "labels"):
+            raise AttributeError("underlying dataset has no labels")
+        n = len(getattr(self.ds, "class_names", [])) or int(self.labels.max()) + 1
+        return np.bincount(self.labels, minlength=n)
+
+
+def split_indices(n: int, val_fraction: float = 0.25, seed: int = 0
+                  ) -> Tuple[List[int], List[int]]:
+    """Deterministic shuffled train/val index split."""
+    idx = np.random.default_rng(seed).permutation(n)
+    n_val = max(1, int(round(n * val_fraction)))
+    return sorted(idx[n_val:].tolist()), sorted(idx[:n_val].tolist())
+
+
 class MVTecClassificationDataset:
     """test/ defect-type folders as class labels (ImageFolder-equivalent;
     plugs into the ResNet trainer's DataLoader).

@@ -49,7 +49,9 @@ int iqc_jpeg_info(const uint8_t* data, size_t len, int* w, int* h) {
     return -1;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_mem_src(&cinfo, data, len);
+  // const_cast: classic IJG libjpeg (pre-9b) declares the source buffer
+  // non-const; libjpeg never writes it, so the cast is safe on both ABIs.
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data), len);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
     return -1;
@@ -72,7 +74,7 @@ int iqc_jpeg_decode(const uint8_t* data, size_t len, int scale_denom,
     return -1;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_mem_src(&cinfo, data, len);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data), len);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);
     return -1;

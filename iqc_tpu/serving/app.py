@@ -308,10 +308,15 @@ def create_app(qc_system: Optional[QualityControlSystem] = None,
     app.qc_system = system  # the attribute the reference never wires
 
     api_cfg = system.config.api
-    detect_limiter = RateLimiter(50 if api_cfg.rate_limit_enabled else 10**9)
-    batch_limiter = RateLimiter(10 if api_cfg.rate_limit_enabled else 10**9)
+    # Rate limiting rides the C++ striped-lock limiter when the native
+    # runtime builds (runtime/cpp/iqc_runtime.cc:96-117); NativeRateLimiter
+    # degrades to the pure-Python RateLimiter automatically.
+    from iqc_tpu.runtime.native import NativeRateLimiter
 
-    def limited(limiter: RateLimiter, req: Request) -> Optional[Response]:
+    detect_limiter = NativeRateLimiter(50 if api_cfg.rate_limit_enabled else 10**9)
+    batch_limiter = NativeRateLimiter(10 if api_cfg.rate_limit_enabled else 10**9)
+
+    def limited(limiter, req: Request) -> Optional[Response]:
         if not limiter.allow(req.remote_addr or "local"):
             return jsonify(
                 {
@@ -343,6 +348,34 @@ def create_app(qc_system: Optional[QualityControlSystem] = None,
 
         app.before_request.append(cors_preflight)
         app.after_request.append(cors_headers)
+
+    if api_cfg.auth_enabled:
+        # Static API-key check honoring the reference's declared-but-unread
+        # authentication block (config.yaml:162-166). Keys ride the
+        # X-API-Key header or "Authorization: Bearer <key>". /health stays
+        # open for container healthchecks (Dockerfile HEALTHCHECK).
+        valid_keys = frozenset(api_cfg.api_keys)
+
+        def require_api_key(req: Request) -> Optional[Response]:
+            path = req.path or ""
+            if req.method == "OPTIONS" or not path.startswith("/api/"):
+                return None
+            if path == "/api/health":
+                return None
+            key = req.header("X-API-Key")
+            if not key:
+                auth_hdr = req.header("Authorization")
+                if auth_hdr.lower().startswith("bearer "):
+                    key = auth_hdr[7:].strip()
+            if key and key in valid_keys:
+                return None
+            return jsonify(
+                {"error": "Unauthorized", "message": "valid API key required",
+                 "api_version": API_VERSION, "timestamp": _now()},
+                401,
+            )
+
+        app.before_request.append(require_api_key)
 
     # -- inline routes (app.py:164-236) ----------------------------------------
 
@@ -605,12 +638,28 @@ def create_app(qc_system: Optional[QualityControlSystem] = None,
     @app.route("/api/spc/export", methods=("POST",))
     def spc_export(req: Request):
         data = req.json() or {}
-        out_path = data.get(
+        requested = data.get(
             "output_path",
             f"spc_report_{datetime.now().strftime('%Y%m%d_%H%M%S')}.json",
         )
+        # Writes are confined to api.reports_dir: the reference passes the
+        # client-supplied path straight to open() (routes.py:417-443) — an
+        # arbitrary-file-write primitive on an unauthenticated endpoint.
+        reports_dir = os.path.abspath(system.config.api.reports_dir or "reports")
+        name = str(requested)
+        if os.path.isabs(name) or ".." in name.replace("\\", "/").split("/"):
+            return jsonify(
+                {"error": "Invalid output_path",
+                 "message": "output_path must be relative and inside the "
+                            "configured reports directory"},
+                400,
+            )
+        out_path = os.path.normpath(os.path.join(reports_dir, name))
+        if not (out_path + os.sep).startswith(reports_dir + os.sep):
+            return jsonify({"error": "Invalid output_path"}, 400)
         if system.spc_analyzer is None:
             return jsonify({"error": "SPC analyzer not available"}, 500)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
         if system.spc_analyzer.export_spc_report(out_path):
             return jsonify(
                 {

@@ -39,6 +39,18 @@ def render_metrics(system) -> str:
     metric("iqc_queue_depth", "gauge", "Processing queue depth",
            system.processing_queue.qsize())
 
+    ens = getattr(system.detector, "ensemble_predictor", None)
+    if ens is not None:
+        # capacity signal: detections past the max_classified crop slots use
+        # the reference's conf*1.1 mock rule instead of real crop ResNet —
+        # a rising counter means max_classified should be raised
+        metric("iqc_crop_classified_total", "counter",
+               "Detections classified by the real crop ResNet",
+               getattr(ens, "crop_classified_total", 0))
+        metric("iqc_mock_tail_detections_total", "counter",
+               "Detections past max_classified that fell back to the mock "
+               "conf*1.1 rule", getattr(ens, "mock_tail_total", 0))
+
     if system.spc_analyzer is not None:
         counts = system.spc_analyzer.series["defect_count"]
         if len(counts):

@@ -36,6 +36,11 @@ class Request:
         self._files: Optional[Dict[str, List[Tuple[str, bytes]]]] = None
         self._form: Optional[Dict[str, str]] = None
 
+    def header(self, name: str, default: str = "") -> str:
+        """Request header by case-insensitive name (WSGI HTTP_* environ)."""
+        key = "HTTP_" + name.upper().replace("-", "_")
+        return self.environ.get(key, default)
+
     @property
     def body(self) -> bytes:
         if self._body is None:

@@ -133,7 +133,7 @@ class YOLOTrainer:
             c["mosaic"] > 0 or c["mixup"] > 0
         )
         mosaic_p, mixup_p, seed = c["mosaic"], c["mixup"], c["seed"]
-        mosaic_aa = bool(c.get("mosaic_antialias", True))
+        mosaic_aa = bool(c.get("mosaic_antialias", False))
 
         def make_step(apply_inbatch_mosaic: bool):
           def step(state, ema, images, boxes, classes, valid, anchors, strides):
@@ -368,6 +368,16 @@ class YOLOTrainer:
             self.build(steps_per_epoch=len(train_loader))
         stopper = EarlyStopping(patience=c["patience"], mode="max")
         best_map = 0.0
+        if self.uses_device_mosaic:
+            # device mosaic owns augmentation: a loader still applying its
+            # own host mosaic/mixup (DetectionLoader defaults mosaic_prob=1)
+            # would double-augment — mosaics of mosaics (ADVICE r2).
+            for attr in ("mosaic_prob", "mixup_prob"):
+                if getattr(train_loader, attr, 0.0):
+                    logger.warning(
+                        "device_mosaic active: zeroing train_loader.%s to "
+                        "avoid double augmentation", attr)
+                    setattr(train_loader, attr, 0.0)
         corpus = self._maybe_device_corpus(train_loader)
         steps_per_epoch = len(train_loader)
         batch_size = train_loader.batch_size

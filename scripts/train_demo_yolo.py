@@ -31,7 +31,7 @@ def main() -> None:
     trainer = YOLOTrainer({
         "seed": seed,
         "device_mosaic": device_mosaic,
-        "mosaic_antialias": os.environ.get("MOSAIC_AA", "1") == "1",
+        "mosaic_antialias": os.environ.get("MOSAIC_AA", "0") == "1",
         "image_size": image_size,
         "epochs": epochs,
         "learning_rate": 0.008,

@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Full real-data-format cycle on an MVTec-AD-layout corpus (VERDICT r2 #1):
+
+    render corpus (held-out generator)  ->  data/mvtec.py import
+    ->  native YOLO + ResNet training   ->  deterministic eval
+    ->  serve both checkpoints through the QC system
+
+The environment has zero egress, so the corpus is rendered locally by
+``iqc_tpu/data/mvtec_synth.py`` — a generative model with HELD-OUT
+parameters (textured surfaces, branching cracks, curved glinting
+scratches, shaded dents, noise-gated blotches, splatter clusters),
+deliberately distinct from the training-demo generator
+(``data/yolo_dataset.py::SyntheticDefectDataset``), and labels re-derived
+from ground-truth masks by the importer's connected-components pass rather
+than taken from generator metadata.
+
+Replaces the external-dataset step the reference leaves to Ultralytics
+dataset.yaml plumbing (/root/reference/train/train_yolo.py:80-115).
+
+Run (TPU, ~15 min): python scripts/train_mvtec.py
+Env: ROOT, CATEGORY, IMG_SIZE, EPOCHS_DET, EPOCHS_CLS, SEED,
+     N_PER_DEFECT, OUT_DET, OUT_CLS.
+"""
+
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_corpus(root: str, category: str, seed: int, n_per_defect: int):
+    from iqc_tpu.data.mvtec_synth import write_corpus
+
+    cat_dir = os.path.join(root, category)
+    if os.path.isdir(os.path.join(cat_dir, "test")):
+        print(f"corpus exists at {cat_dir}", flush=True)
+        return cat_dir
+    t0 = time.time()
+    manifest = write_corpus(
+        root, category, n_train_good=48, n_test_good=32,
+        n_test_per_defect=n_per_defect, size=512, seed=seed,
+    )
+    with open(os.path.join(cat_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"rendered corpus in {time.time()-t0:.1f}s: {manifest['counts']}",
+          flush=True)
+    return cat_dir
+
+
+def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
+                    out: str):
+    from iqc_tpu.config import DEFECT_CLASSES
+    from iqc_tpu.data.mvtec import MVTecDetectionDataset, SubsetDataset, split_indices
+    from iqc_tpu.data.yolo_dataset import DetectionLoader
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = MVTecDetectionDataset(
+        cat_dir, image_size=img_size, max_boxes=16,
+        include_good=True, class_names=list(DEFECT_CLASSES),
+    )
+    train_idx, val_idx = split_indices(len(ds), val_fraction=0.25, seed=0)
+    train_ds = SubsetDataset(ds, train_idx)
+    val_ds = SubsetDataset(ds, val_idx)
+    print(f"detection: {len(train_ds)} train / {len(val_ds)} val images "
+          f"(MVTec layout, boxes from ground-truth masks)", flush=True)
+
+    trainer = YOLOTrainer({
+        "seed": seed,
+        "image_size": img_size,
+        "epochs": epochs,
+        "learning_rate": 0.008,
+        "warmup_epochs": 2,
+        "ema_decay": 0.995,
+        "max_boxes": 16,
+        "checkpoint_dir": "checkpoints/yolo_mvtec",
+    })
+    c = trainer.config
+    train_loader = DetectionLoader(train_ds, c["batch_size"],
+                                   mosaic_prob=0.0, mixup_prob=0.0)
+    val_loader = DetectionLoader(val_ds, c["batch_size"], mosaic_prob=0,
+                                 mixup_prob=0, shuffle=False)
+    report = trainer.train(train_loader, val_loader)
+    trainer.save(out)
+    # deterministic re-eval of the saved weights (repeat-call equality is
+    # asserted by the loader's enumerate-the-split path)
+    final = trainer.validate(val_loader)
+    return {
+        "best_mAP50": round(float(report["best_mAP50"]), 4),
+        "val": {k: round(float(v), 4) for k, v in final.items()
+                if isinstance(v, (int, float))},
+        "epochs": report["epochs_trained"],
+        "n_train": len(train_ds), "n_val": len(val_ds),
+    }
+
+
+def train_classification(cat_dir: str, epochs: int, seed: int, out: str):
+    from iqc_tpu.config import DEFECT_CLASSES
+    from iqc_tpu.data.mvtec import (
+        MVTecClassificationDataset, SubsetDataset, split_indices,
+    )
+    from iqc_tpu.train.train_resnet import ResNetTrainer
+
+    ds = MVTecClassificationDataset(cat_dir, (224, 224), good_label=None)
+    # remap folder-derived class ids onto the serving class order so the
+    # checkpoint drops into the 5-class ensemble unchanged
+    remap = {old: DEFECT_CLASSES.index(name)
+             for old, name in enumerate(ds.class_names)}
+    ds.samples = [(p, remap[l]) for p, l in ds.samples]
+    ds.labels = np.asarray([l for _, l in ds.samples], np.int32)
+    ds.class_names = list(DEFECT_CLASSES)
+
+    train_idx, val_idx = split_indices(len(ds), val_fraction=0.25, seed=0)
+    train_ds, val_ds = SubsetDataset(ds, train_idx), SubsetDataset(ds, val_idx)
+    print(f"classification: {len(train_ds)} train / {len(val_ds)} val "
+          f"(classes {ds.class_names})", flush=True)
+
+    trainer = ResNetTrainer({
+        "seed": seed,
+        "epochs": epochs,
+        "batch_size": 32,
+        "learning_rate": 3e-4,
+        "checkpoint_dir": "checkpoints/resnet_mvtec",
+        "early_stopping_patience": epochs,
+    })
+    trainer.setup_data(train_ds, val_ds, val_ds)
+    trainer.build(steps_per_epoch=len(trainer.train_loader))
+    report = trainer.train(epochs=epochs)
+    val = trainer.evaluate(trainer.val_loader)
+    trainer.save(out, epoch=report["epochs_trained"])
+    return {
+        "val_accuracy": round(float(val["accuracy"]), 4),
+        "val_f1": round(float(val["f1"]), 4),
+        "epochs": report["epochs_trained"],
+        "n_train": len(train_ds), "n_val": len(val_ds),
+    }
+
+
+def serve_checkpoints(det_ckpt: str, cls_ckpt: str, cat_dir: str,
+                      img_size: int):
+    """Load both MVTec checkpoints through the serving stack and run a real
+    MVTec image end-to-end (the 'serve the checkpoint' leg)."""
+    from iqc_tpu.config import SystemConfig
+    from iqc_tpu.serving.app import QualityControlSystem, create_app
+
+    cfg = SystemConfig.from_dict({
+        "model": {"yolo_weights": det_ckpt, "resnet_weights": cls_ckpt,
+                  "max_detections": 64, "max_classified": 8},
+        "processing": {"input_size": [img_size, img_size],
+                       "preprocessing": {"resize": [img_size, img_size]}},
+    })
+    system = QualityControlSystem(config=cfg)
+    assert system.initialize_models(), "serving init failed"
+    info = system.detector.ensemble_predictor.weights_source
+    assert info["yolo"] == "checkpoint" and info["resnet"] == "checkpoint", info
+
+    from PIL import Image
+
+    test_img = os.path.join(cat_dir, "test", "crack", "000.png")
+    image = np.asarray(Image.open(test_img).convert("RGB"))
+    result = system.process_image(image)
+    assert "error" not in result, result
+    app = create_app(system, initialize=False)  # route surface sanity
+    return {
+        "weights_source": info,
+        "example_image": test_img,
+        "n_detections": len(result.get("detections", [])),
+        "quality_grade": result["quality_assessment"]["quality_grade"],
+    }
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    root = os.environ.get("ROOT", "data/mvtec_corpus")
+    category = os.environ.get("CATEGORY", "metal_plate")
+    img_size = int(os.environ.get("IMG_SIZE", "320"))
+    epochs_det = int(os.environ.get("EPOCHS_DET", "60"))
+    epochs_cls = int(os.environ.get("EPOCHS_CLS", "16"))
+    seed = int(os.environ.get("SEED", "42"))
+    n_per_defect = int(os.environ.get("N_PER_DEFECT", "48"))
+    out_det = os.environ.get("OUT_DET", "models/yolov8n_qc_mvtec.msgpack")
+    out_cls = os.environ.get("OUT_CLS", "models/resnet50_qc_mvtec.msgpack")
+
+    cat_dir = build_corpus(root, category, seed=2024, n_per_defect=n_per_defect)
+    det = train_detection(cat_dir, img_size, epochs_det, seed, out_det)
+    print("detection:", json.dumps(det), flush=True)
+    cls = train_classification(cat_dir, epochs_cls, seed, out_cls)
+    print("classification:", json.dumps(cls), flush=True)
+    serve = serve_checkpoints(out_det, out_cls, cat_dir, img_size)
+    print("serving:", json.dumps(serve), flush=True)
+
+    meta = {
+        "corpus": {"root": root, "category": category,
+                   "generator": "mvtec_synth (held-out parameters)"},
+        "detection": det, "classification": cls, "serving": serve,
+        "checkpoints": {"yolo": out_det, "resnet": out_cls},
+    }
+    with open(out_det + ".mvtec_report.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print(json.dumps(meta), flush=True)
+
+
+if __name__ == "__main__":
+    main()

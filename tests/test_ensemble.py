@@ -168,3 +168,78 @@ def test_int8_serving_precision(tiny_config, rng):
     img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
     result = pred.predict(img)
     assert result["quality_assessment"]["quality_grade"] in "ABCDF"
+
+
+def test_mock_tail_boundary_flagging_and_counters(predictor):
+    """Detections past the max_classified crop slots fall back to the
+    reference's conf*1.1 mock rule (ensemble.py:186-195). Pins the
+    boundary: slot kc-1 is real crop ResNet, slot kc is flagged
+    ensemble_refined with the mock confidence, and the capacity counters
+    advance so operators can see the tail being hit (VERDICT r2 #9)."""
+    import jax.numpy as jnp
+
+    from iqc_tpu.models.ensemble import EnsembleOutputs
+
+    kc = predictor.max_classified  # 4 in tiny_config
+    k = predictor.max_detections   # 16
+    n_valid = kc + 2               # two detections past the boundary
+    b = 1
+    scores = np.linspace(0.95, 0.3, k, dtype=np.float32)[None]
+    valid = np.arange(k)[None] < n_valid
+    classified = np.arange(k)[None] < kc  # graph constructs exactly this
+    mock_conf = np.minimum(scores * 1.1, 1.0)
+    crop_conf = np.where(classified, 0.7, mock_conf).astype(np.float32)
+    out = EnsembleOutputs(
+        boxes=jnp.asarray(np.tile(np.array([1.0, 1.0, 20.0, 20.0], np.float32), (b, k, 1))),
+        yolo_scores=jnp.asarray(scores),
+        classes=jnp.zeros((b, k), jnp.int32),
+        valid=jnp.asarray(valid),
+        areas=jnp.full((b, k), 361.0),
+        yolo_severity=jnp.zeros((b, k), jnp.int32),
+        crop_class=jnp.zeros((b, k), jnp.int32),
+        crop_conf=jnp.asarray(crop_conf),
+        crop_severity=jnp.zeros((b, k), jnp.int32),
+        crop_classified=jnp.asarray(classified),
+        ensemble_conf=jnp.asarray(0.6 * scores + 0.4 * crop_conf),
+        final_severity=jnp.zeros((b, k), jnp.int32),
+        severity_counts=jnp.asarray([[n_valid, 0, 0]], dtype=jnp.int32),
+        global_probs=jnp.asarray([[0.9, 0.025, 0.025, 0.025, 0.025]]),
+        image_confidence=jnp.asarray([0.8]),
+    )
+    c0_real = predictor.crop_classified_total
+    c0_mock = predictor.mock_tail_total
+    result = predictor.build_result(out, 0, (96, 96, 3))
+    dets = result["detections"]
+    assert len(dets) == n_valid
+    src = [d["classification_details"]["classification_source"] for d in dets]
+    assert src[: kc] == ["crop_resnet"] * kc
+    assert src[kc:] == ["ensemble_refined"] * 2
+    # the mock rule's confidence is conf*1.1 capped at 1
+    assert dets[kc]["resnet_confidence"] == pytest.approx(
+        min(float(scores[0, kc]) * 1.1, 1.0), abs=1e-6
+    )
+    assert predictor.crop_classified_total - c0_real == kc
+    assert predictor.mock_tail_total - c0_mock == 2
+
+
+def test_ensemble_optimizer_batched_grid_search(predictor, rng):
+    """EnsembleOptimizer.optimize_weights evaluates each weight step as
+    batched device dispatches (one per image shape), not per-image predicts
+    (VERDICT r2 #10), and returns the best-scoring weights."""
+    from unittest.mock import patch
+
+    from iqc_tpu.models.ensemble import EnsembleOptimizer
+
+    imgs = [rng.integers(0, 255, (96, 96, 3), dtype=np.uint8) for _ in range(4)]
+    data = [(im, {"pass": True}) for im in imgs]
+    opt = EnsembleOptimizer(predictor)
+    with patch.object(
+        predictor, "batch_predict", wraps=predictor.batch_predict
+    ) as bp, patch.object(predictor, "predict") as single:
+        report = opt.optimize_weights(data, steps=3)
+        assert bp.call_count == 3          # one batched call per weight step
+        assert single.call_count == 0      # never per-image
+        assert len(bp.call_args[0][0]) == 4
+    assert set(report["best_weights"]) == {"yolo", "resnet"}
+    assert abs(sum(report["best_weights"].values()) - 1.0) < 1e-6
+    assert len(report["history"]) == 3

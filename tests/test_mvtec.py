@@ -94,3 +94,80 @@ def test_classification_dataset(mvtec_tree):
 def test_missing_split_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         MVTecDetectionDataset(str(tmp_path))
+
+
+# -- held-out-generator corpus renderer (mvtec_synth) + subset splitting ----
+
+
+@pytest.fixture(scope="module")
+def synth_corpus(tmp_path_factory):
+    from iqc_tpu.data.mvtec_synth import write_corpus
+
+    root = str(tmp_path_factory.mktemp("mvtec_synth"))
+    manifest = write_corpus(
+        root, "metal_plate", n_train_good=2, n_test_good=2,
+        n_test_per_defect=2, size=128, seed=11,
+    )
+    return root, manifest
+
+
+def test_renderer_deterministic():
+    from iqc_tpu.data.mvtec_synth import MVTecStyleRenderer
+
+    r1 = MVTecStyleRenderer(size=96, seed=5)
+    r2 = MVTecStyleRenderer(size=96, seed=5)
+    for dt in ("crack", None):
+        a_img, a_mask = r1.render(dt, 3)
+        b_img, b_mask = r2.render(dt, 3)
+        np.testing.assert_array_equal(a_img, b_img)
+        np.testing.assert_array_equal(a_mask, b_mask)
+    c_img, _ = MVTecStyleRenderer(size=96, seed=6).render("crack", 3)
+    assert not np.array_equal(a_img, c_img)  # seed changes the sample
+
+
+def test_renderer_defects_have_masks():
+    from iqc_tpu.data.mvtec_synth import DEFECT_TYPES, MVTecStyleRenderer
+
+    r = MVTecStyleRenderer(size=128, seed=9)
+    for i, dt in enumerate(DEFECT_TYPES):
+        img, mask = r.render(dt, i)
+        assert img.dtype == np.uint8 and img.shape == (128, 128, 3)
+        assert (mask > 0).sum() > 10, dt  # a visible defect exists
+    _, good_mask = r.render(None, 0)
+    assert (good_mask > 0).sum() == 0
+
+
+def test_synth_corpus_imports_through_mvtec(synth_corpus):
+    """The rendered tree must be a valid MVTec-AD layout: boxes re-derived
+    from masks by the importer's connected-components pass."""
+    from iqc_tpu.config import DEFECT_CLASSES
+
+    root, manifest = synth_corpus
+    cat = os.path.join(root, "metal_plate")
+    assert manifest["counts"]["train/good"] == 2
+    ds = MVTecDetectionDataset(cat, image_size=96, max_boxes=8,
+                               class_names=list(DEFECT_CLASSES))
+    assert len(ds) == 2 + 2 * 5  # test/good + 5 defect types
+    total_boxes = sum(int(ds.load(i)[3].sum()) for i in range(len(ds)))
+    assert total_boxes > 0
+    cds = MVTecClassificationDataset(cat, (64, 64), good_label=None)
+    assert sorted(cds.class_names) == sorted(DEFECT_CLASSES)
+
+
+def test_subset_dataset_and_split(synth_corpus):
+    from iqc_tpu.data.mvtec import SubsetDataset, split_indices
+
+    root, _ = synth_corpus
+    ds = MVTecDetectionDataset(os.path.join(root, "metal_plate"),
+                               image_size=96, max_boxes=8)
+    tr, va = split_indices(len(ds), val_fraction=0.25, seed=0)
+    assert sorted(tr + va) == list(range(len(ds)))
+    assert len(va) == max(1, round(len(ds) * 0.25))
+    tr2, va2 = split_indices(len(ds), val_fraction=0.25, seed=0)
+    assert tr == tr2 and va == va2  # deterministic
+    sub = SubsetDataset(ds, va)
+    assert len(sub) == len(va)
+    img, boxes, classes, valid = sub.load(0)
+    ref = ds.load(va[0])
+    np.testing.assert_array_equal(img, ref[0])
+    assert sub.image_size == ds.image_size

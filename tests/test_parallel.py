@@ -76,3 +76,117 @@ def test_sharded_ensemble_matches_single_device(tiny_config, rng):
         np.asarray(out_sharded.boxes)[v],
         rtol=1e-3, atol=0.1,
     )
+
+
+# -- sharded TRAINING equality (VERDICT r2 #4): the data-parallel train
+# step over the 8-virtual-device mesh must produce the same update as the
+# single-device step on the same batch (GSPMD inserts the collectives; the
+# math must not change).
+
+
+def _tiny_yolo_cfg():
+    return {
+        "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 1,
+        "width_mult": 0.125, "reg_max": 8, "compute_dtype": "float32",
+        "warmup_epochs": 0, "device_mosaic": False, "mosaic": 0.0,
+        "mixup": 0.0, "ema_decay": 0.9, "seed": 7, "learning_rate": 0.005,
+        "checkpoint_dir": "/tmp/iqc_yolo_par_test",
+    }
+
+
+def _first_batch(image_size=64, n=8, seed=3):
+    from iqc_tpu.data.yolo_dataset import DetectionLoader, SyntheticDefectDataset
+
+    ds = SyntheticDefectDataset(n, image_size, 8, seed=seed)
+    loader = DetectionLoader(ds, n, mosaic_prob=0.0, mixup_prob=0.0,
+                             shuffle=False)
+    return next(iter(loader))
+
+
+def _leaves_allclose(a, b, rtol=2e-4, atol=2e-5):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), np.asarray(y, np.float32),
+            rtol=rtol, atol=atol,
+        )
+
+
+def test_sharded_yolo_train_step_matches_single_device():
+    """The sharded YOLO train branch (train_yolo.py mesh>1 path, TAL loss
+    included) computes the same parameter update as the single-device
+    packed path on an identical batch."""
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    t1 = YOLOTrainer(_tiny_yolo_cfg(),
+                     mesh_config=MeshConfig(data_parallel=1, model_parallel=1))
+    t8 = YOLOTrainer(_tiny_yolo_cfg())
+    assert t1.mesh.mesh.size == 1 and t8.mesh.mesh.size == 8
+    t1.build(steps_per_epoch=2)
+    t8.build(steps_per_epoch=2)
+    # same seed => identical initial parameters on both meshes
+    _leaves_allclose(t1.state.params, t8.state.params, rtol=0, atol=0)
+
+    batch = _first_batch()
+    args = (batch["images"], batch["boxes"], batch["classes"], batch["valid"])
+    s1, e1, p1 = t1._train_step(t1.state, t1.ema_params, *args)
+    s8, e8, p8 = t8._train_step(t8.state, t8.ema_params, *args)
+
+    assert np.isfinite(float(p1["loss"])) and np.isfinite(float(p8["loss"]))
+    np.testing.assert_allclose(float(p1["loss"]), float(p8["loss"]),
+                               rtol=1e-4)
+    _leaves_allclose(s1.params, s8.params)
+    _leaves_allclose(e1, e8)
+    _leaves_allclose(s1.batch_stats, s8.batch_stats)
+
+
+def test_sharded_classifier_train_step_matches_single_device():
+    """Same equality witness for the ResNet classifier step
+    (train_resnet.py's sharded path through steps.shard_train_step)."""
+    import optax
+
+    from iqc_tpu.models.resnet import ResNet50
+    from iqc_tpu.train.steps import (
+        create_train_state, make_classifier_train_step, shard_train_step,
+    )
+
+    module = ResNet50(num_classes=5, stage_sizes=(1, 1, 1, 1),
+                      dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = module.init(rng, jnp.zeros((1, 64, 64, 3), jnp.float32),
+                            train=False)
+    optimizer = optax.adamw(1e-3)
+    step = make_classifier_train_step(module, optimizer)
+
+    spec1 = create_mesh(MeshConfig(data_parallel=1, model_parallel=1))
+    spec8 = create_mesh(MeshConfig())
+    assert spec8.mesh.size == 8
+
+    images = np.random.default_rng(0).random((8, 64, 64, 3)).astype(np.float32)
+    labels = (np.arange(8) % 5).astype(np.int32)
+    cw = jnp.ones((5,), jnp.float32)
+
+    out = {}
+    for name, spec in (("single", spec1), ("sharded", spec8)):
+        # fresh buffers per run: shard_train_step donates the state, which
+        # would otherwise invalidate the shared `variables` arrays
+        fresh = jax.tree_util.tree_map(jnp.array, variables)
+        state = replicate(spec, create_train_state(fresh, optimizer))
+        fn = shard_train_step(step, spec)
+        sb = shard_batch(spec, {"images": images, "labels": labels})
+        st, metrics = fn(state, sb["images"], sb["labels"], rng,
+                         replicate(spec, cw))
+        out[name] = (st, {k: float(v) for k, v in metrics.items()})
+
+    np.testing.assert_allclose(out["single"][1]["loss"],
+                               out["sharded"][1]["loss"], rtol=1e-5)
+    # Adam normalizes per-element (g / (sqrt(v)+eps)): for elements with
+    # |g| near zero, a ~1e-7 cross-shard reduction-order delta can swing
+    # the normalized update by O(1), i.e. the param by O(lr). Bound the
+    # check at a few lr (observed max 2e-3 on 14 of 1M elements).
+    _leaves_allclose(out["single"][0].params, out["sharded"][0].params,
+                     rtol=2e-4, atol=4e-3)
+    _leaves_allclose(out["single"][0].batch_stats,
+                     out["sharded"][0].batch_stats)

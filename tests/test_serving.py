@@ -9,7 +9,8 @@ from iqc_tpu.serving.app import QualityControlSystem, create_app
 from iqc_tpu.serving.wsgi import App, Request, jsonify
 
 
-def wsgi_call(app, method, path, body=b"", content_type="", query=""):
+def wsgi_call(app, method, path, body=b"", content_type="", query="",
+              headers=None):
     """Drive the WSGI app directly (no socket) — returns (status, json)."""
     environ = {
         "REQUEST_METHOD": method,
@@ -20,6 +21,7 @@ def wsgi_call(app, method, path, body=b"", content_type="", query=""):
         "REMOTE_ADDR": "127.0.0.1",
         "wsgi.input": io.BytesIO(body),
     }
+    environ.update(headers or {})
     captured = {}
 
     def start_response(status, headers):
@@ -200,13 +202,66 @@ def test_spc_analyze_and_export(app, tmp_path):
     status, data = wsgi_call(app, "POST", "/api/spc/analyze", payload.encode(), "application/json")
     assert status == 200
     assert "current_metrics" in data["spc_analysis"]
-    out = str(tmp_path / "spc.json")
+    app.qc_system.config.api.reports_dir = str(tmp_path)
     status, data = wsgi_call(
         app, "POST", "/api/spc/export",
-        json.dumps({"output_path": out}).encode(), "application/json",
+        json.dumps({"output_path": "spc.json"}).encode(), "application/json",
     )
     assert status == 200
+    out = tmp_path / "spc.json"
     assert json.load(open(out))["data_summary"]["total_samples"] >= 1
+
+
+def test_spc_export_confined_to_reports_dir(app, tmp_path):
+    """Regression: the reference's /api/spc/export writes any client path
+    (routes.py:417-443) — ours must reject traversal and absolute paths."""
+    app.qc_system.config.api.reports_dir = str(tmp_path)
+    for evil in ("../evil.json", "a/../../evil.json", "/tmp/evil.json"):
+        status, data = wsgi_call(
+            app, "POST", "/api/spc/export",
+            json.dumps({"output_path": evil}).encode(), "application/json",
+        )
+        assert status == 400, evil
+    # nested relative path inside the dir is fine
+    status, _ = wsgi_call(
+        app, "POST", "/api/spc/export",
+        json.dumps({"output_path": "sub/dir/r.json"}).encode(),
+        "application/json",
+    )
+    assert status == 200
+    assert (tmp_path / "sub" / "dir" / "r.json").exists()
+
+
+def test_api_key_auth(system):
+    """api.authentication enabled → /api/* requires a key; /health stays
+    open (reference declares the auth block but never reads it,
+    config.yaml:162-166)."""
+    import copy
+
+    cfg = copy.deepcopy(system.config)
+    cfg.api.auth_enabled = True
+    cfg.api.api_keys = ("secret-key-1",)
+    s = QualityControlSystem(config=cfg)
+    s.detector = system.detector  # reuse compiled models
+    s.spc_analyzer = system.spc_analyzer
+    s.anomaly_detector = system.anomaly_detector
+    auth_app = create_app(s, initialize=False)
+
+    status, _ = wsgi_call(auth_app, "GET", "/health")
+    assert status == 200  # container healthcheck unaffected
+    status, data = wsgi_call(auth_app, "GET", "/api/version")
+    assert status == 401
+    status, _ = wsgi_call(auth_app, "GET", "/api/health")
+    assert status == 200
+    env_hdr = {"HTTP_X_API_KEY": "secret-key-1"}
+    status, data = wsgi_call(auth_app, "GET", "/api/version", headers=env_hdr)
+    assert status == 200
+    status, _ = wsgi_call(auth_app, "GET", "/api/version",
+                          headers={"HTTP_AUTHORIZATION": "Bearer secret-key-1"})
+    assert status == 200
+    status, _ = wsgi_call(auth_app, "GET", "/api/version",
+                          headers={"HTTP_X_API_KEY": "wrong"})
+    assert status == 401
 
 
 def test_quality_rules_and_assess(app):
