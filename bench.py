@@ -136,8 +136,9 @@ def main() -> None:
     )
     m = cfg.model
     dtype = jnp.bfloat16
+    stem = os.environ.get("BENCH_STEM", "conv")  # "s2d" = TPU-first stem
     yolo = YOLOv8(num_classes=m.num_classes, width_mult=m.width_mult,
-                  depth_mult=m.depth_mult, dtype=dtype)
+                  depth_mult=m.depth_mult, dtype=dtype, stem_mode=stem)
     resnet = ResNet50(num_classes=m.num_classes, dtype=dtype)
 
     rng = jax.random.PRNGKey(0)
@@ -240,6 +241,7 @@ def main() -> None:
         "device": str(device),
         "device_kind": getattr(device, "device_kind", "?"),
         "dtype": "bfloat16" if precision != "int8" else "bf16+int8-resnet",
+        "yolo_stem": stem,
         "max_detections": m.max_detections,
         "max_classified_crops": m.max_classified,
         "segmentation_included": full,

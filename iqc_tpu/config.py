@@ -63,8 +63,14 @@ class ModelConfig:
     # stage sizes (3,4,6,3) = ResNet-50. Tests shrink both for fast compiles.
     classifier_input: int = 224
     resnet_stages: Tuple[int, ...] = (3, 4, 6, 3)
+    # YOLO stem: "conv" (faithful YOLOv8) | "s2d" (TPU-first space-to-depth
+    # stem, skips the MXU-starved P1 layers — see models/yolo.py). The two
+    # are different parameterizations; checkpoints are stem-specific.
+    yolo_stem: str = "conv"
 
     def validate(self) -> None:
+        if self.yolo_stem not in ("conv", "s2d"):
+            raise ValueError(f"unknown yolo_stem {self.yolo_stem!r}")
         if not 0.0 <= self.confidence_threshold <= 1.0:
             raise ValueError(f"confidence_threshold out of range: {self.confidence_threshold}")
         if not 0.0 <= self.nms_threshold <= 1.0:

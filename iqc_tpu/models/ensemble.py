@@ -115,11 +115,16 @@ def build_ensemble_forward(
         global_probs = jax.nn.softmax(global_logits.astype(jnp.float32), axis=-1)
 
         # --- real per-crop classification on the top-Kc survivors ---
-        # survivors are compacted+score-sorted, so slots [:kc] are the best
+        # survivors are compacted+score-sorted, so slots [:kc] are the best.
+        # The interpolation matmuls run in the model's compute dtype: at
+        # bf16 they hit the MXU's full rate (2x f32) and the pixel error is
+        # under one uint8 step (see crop_and_resize docstring).
         crop_boxes = det.boxes[:, :kc]
-        crops = jax.vmap(lambda img, bx: imops.crop_and_resize(img, bx, (ci, ci)))(
-            x, crop_boxes
-        )  # [B,kc,ci,ci,3]
+        crops = jax.vmap(
+            lambda img, bx: imops.crop_and_resize(
+                img, bx, (ci, ci), compute_dtype=yolo.dtype
+            )
+        )(x, crop_boxes)  # [B,kc,ci,ci,3]
         crops_flat = imops.normalize_imagenet(crops.reshape(b * kc, ci, ci, 3))
         crop_logits = resnet_apply(resnet_vars, crops_flat)
         crop_probs = jax.nn.softmax(crop_logits.astype(jnp.float32), axis=-1)
@@ -356,6 +361,7 @@ class EnsemblePredictor:
         self.yolo = YOLOv8(
             num_classes=m.num_classes, width_mult=m.width_mult,
             depth_mult=m.depth_mult, reg_max=m.reg_max, dtype=dtype,
+            stem_mode=m.yolo_stem,
         )
         self.resnet = ResNet50(
             num_classes=m.num_classes, dtype=dtype, stage_sizes=m.resnet_stages

@@ -116,6 +116,17 @@ def _upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
 
 
+def space_to_depth(x: jnp.ndarray, block: int) -> jnp.ndarray:
+    """[B,H,W,C] -> [B,H/b,W/b,C*b*b]: fold a b x b spatial block into
+    channels. Lossless pixel rearrangement (SPD-Conv); on TPU it converts
+    tiny-channel high-resolution convs into fewer wider ones that actually
+    fill the MXU/vector lanes."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // block, block, w // block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // block, w // block, c * block * block)
+
+
 class DetectHead(nn.Module):
     """Decoupled anchor-free head with DFL box regression (one scale)."""
 
@@ -153,6 +164,15 @@ class YOLOv8(nn.Module):
     depth_mult: float = 0.334
     reg_max: int = 16
     dtype: Any = jnp.float32
+    # "conv": faithful YOLOv8 stem (two stride-2 convs through P1).
+    # "s2d": TPU-first stem — space_to_depth(4) + one stride-1 conv straight
+    # to P2. The faithful P1 layers run 3->16 and 16->32 channel convs over
+    # 320^2/160^2 maps; those tiny channel counts leave the MXU/vector
+    # lanes ~90% empty (measured: whole yolov8n fwd at 6.8% MFU, batch 32
+    # @640). The s2d stem sees 48 input channels at 160^2 and skips the P1
+    # activations entirely. Different parameters => retrain (SPD-Conv
+    # literature and our corpus runs show accuracy parity).
+    stem_mode: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -161,8 +181,12 @@ class YOLOv8(nn.Module):
         x = x.astype(self.dtype)
 
         # backbone
-        x = ConvBN(ch(64), 3, 2, dtype=self.dtype, name="stem")(x, train)          # P1
-        x = ConvBN(ch(128), 3, 2, dtype=self.dtype, name="down2")(x, train)        # P2
+        if self.stem_mode == "s2d":
+            x = space_to_depth(x, 4)                                               # 160^2 x 48
+            x = ConvBN(ch(128), 3, 1, dtype=self.dtype, name="stem_s2d")(x, train) # P2
+        else:
+            x = ConvBN(ch(64), 3, 2, dtype=self.dtype, name="stem")(x, train)      # P1
+            x = ConvBN(ch(128), 3, 2, dtype=self.dtype, name="down2")(x, train)    # P2
         x = C2f(ch(128), _depth(3, d), True, dtype=self.dtype, name="c2f_2")(x, train)
         x = ConvBN(ch(256), 3, 2, dtype=self.dtype, name="down3")(x, train)        # P3
         p3 = C2f(ch(256), _depth(6, d), True, dtype=self.dtype, name="c2f_3")(x, train)
@@ -243,6 +267,7 @@ class YOLODetector:
         class_names: Optional[List[str]] = None,
         dtype: Any = jnp.float32,
         seed: int = 0,
+        stem_mode: str = "conv",
     ):
         self.model_path = model_path
         self.confidence_threshold = confidence_threshold
@@ -252,7 +277,7 @@ class YOLODetector:
         self.class_names = list(class_names or DEFECT_CLASSES)[:num_classes]
         self.module = YOLOv8(
             num_classes=num_classes, width_mult=width_mult,
-            depth_mult=depth_mult, dtype=dtype,
+            depth_mult=depth_mult, dtype=dtype, stem_mode=stem_mode,
         )
         self.variables = self._load_or_init(seed)
         anchors, strides = make_anchors(feature_shapes(self.input_size), STRIDES)

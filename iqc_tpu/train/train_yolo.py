@@ -58,6 +58,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "ema_decay": 0.9999,
     "width_mult": 0.25,
     "depth_mult": 0.334,
+    "stem_mode": "conv",  # "s2d" = TPU-first space-to-depth stem (models/yolo.py)
     "reg_max": 16,
     "max_boxes": 64,
     "val_conf": 0.001,
@@ -87,6 +88,7 @@ class YOLOTrainer:
         self.module = YOLOv8(
             num_classes=c["num_classes"], width_mult=c["width_mult"],
             depth_mult=c["depth_mult"], reg_max=c["reg_max"], dtype=dtype,
+            stem_mode=c.get("stem_mode", "conv"),
         )
         s = c["image_size"]
         self.anchors, self.strides = make_anchors(feature_shapes((s, s)), STRIDES)

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Deterministic mAP evaluation of a saved YOLO checkpoint.
+
+Enumerates the held-out synthetic val splits (seed 1; 64- and 128-image)
+in order — no sampling, so repeated runs of the same checkpoint are
+bit-identical (the round-2 with-replacement defect stays fixed).
+
+Run: python scripts/eval_yolo.py  (env: CKPT, IMAGE_SIZE, SPLITS, VAL_SEED)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from iqc_tpu.data.yolo_dataset import DetectionLoader, SyntheticDefectDataset
+    from iqc_tpu.train.checkpoint import load_variables
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ckpt = os.environ.get("CKPT", "models/yolov8n_qc_synthetic.msgpack")
+    image_size = int(os.environ.get("IMAGE_SIZE", "320"))
+    splits = [int(s) for s in os.environ.get("SPLITS", "64,128").split(",")]
+    val_seed = int(os.environ.get("VAL_SEED", "1"))
+
+    meta = {}
+    meta_path = ckpt + ".json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f).get("config", {})
+
+    trainer = YOLOTrainer({
+        "image_size": image_size,
+        "max_boxes": int(meta.get("max_boxes", 16)),
+        "width_mult": float(meta.get("width_mult", 0.25)),
+        "depth_mult": float(meta.get("depth_mult", 0.334)),
+        "reg_max": int(meta.get("reg_max", 16)),
+        "num_classes": int(meta.get("num_classes", 5)),
+        "compute_dtype": meta.get("compute_dtype", "bfloat16"),
+        "stem_mode": meta.get("stem_mode", "conv"),
+    })
+    trainer.build(steps_per_epoch=1)
+    template = {"params": trainer.ema_params,
+                "batch_stats": trainer.state.batch_stats}
+    loaded = load_variables(ckpt, template)
+    trainer.ema_params = loaded["params"]
+    trainer.state = trainer.state._replace(batch_stats=loaded["batch_stats"])
+
+    report = {"checkpoint": ckpt, "image_size": image_size,
+              "val_seed": val_seed, "splits": {}}
+    for n in splits:
+        ds = SyntheticDefectDataset(n, image_size, trainer.config["max_boxes"],
+                                    seed=val_seed)
+        loader = DetectionLoader(ds, trainer.config["batch_size"],
+                                 mosaic_prob=0, mixup_prob=0, shuffle=False)
+        m1 = trainer.validate(loader)
+        m2 = trainer.validate(loader)  # determinism witness
+        for k in ("mAP50", "mAP50_95"):
+            assert m1[k] == m2[k], f"non-deterministic eval: {k}"
+        report["splits"][str(n)] = {
+            k: round(float(v), 4) for k, v in m1.items()
+            if isinstance(v, (int, float))
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

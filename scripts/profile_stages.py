@@ -1,0 +1,246 @@
+#!/usr/bin/env python3
+"""Per-stage MFU/time table for the fused pipeline (VERDICT r2 #3).
+
+Times each pipeline stage in isolation with bench.py's K-vs-1 scan
+differencing (the only honest recipe on the tunnel backend — CLAUDE.md
+rule 1d), with FLOPs from each compiled executable's own cost analysis.
+
+Stages:
+  yolo_fwd       YOLOv8 backbone+neck+head (dist, cls logits)
+  decode_nms     DFL decode + class-aware NMS on fixed logits
+  crop_resnet    crop+resize + per-crop ResNet over Kc crops/image
+  global_resnet  whole-image classifier branch
+  segmentation   per-ROI segmentation kernels
+  full           the complete fused graph (bench.py's subject)
+
+Run on TPU: python scripts/profile_stages.py  (env: BATCH, ITERS, TRIALS)
+"""
+
+import functools
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _timed_fetch(fn, *args) -> float:
+    t0 = time.perf_counter()
+    np.asarray(fn(*args))
+    return time.perf_counter() - t0
+
+
+def measure(make_loop, args, iters, trials, hoisted_jit):
+    f1, cost1 = hoisted_jit(make_loop(1)).aot_compile(*args)
+    fk, costk = hoisted_jit(make_loop(iters)).aot_compile(*args)
+    flops = max(float(cost1.get("flops", 0.0)), float(costk.get("flops", 0.0)))
+    _timed_fetch(f1, *args)
+    _timed_fetch(fk, *args)
+    per = []
+    for _ in range(trials):
+        t1 = _timed_fetch(f1, *args)
+        tk = _timed_fetch(fk, *args)
+        per.append((tk - t1) / (iters - 1))
+    return statistics.median(per), flops
+
+
+def main() -> None:
+    batch = int(os.environ.get("BATCH", "32"))
+    iters = int(os.environ.get("ITERS", "8"))
+    trials = int(os.environ.get("TRIALS", "3"))
+    kc = int(os.environ.get("MAX_CLS", "32"))
+    max_det = int(os.environ.get("MAX_DET", "300"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from iqc_tpu.config import SystemConfig
+    from iqc_tpu.models.ensemble import build_full_forward
+    from iqc_tpu.models.resnet import ResNet50
+    from iqc_tpu.models.yolo import STRIDES, YOLOv8, feature_shapes
+    from iqc_tpu.ops import image as imops
+    from iqc_tpu.ops.jit_utils import hoisted_jit
+    from iqc_tpu.ops.nms import decode_and_nms, make_anchors
+
+    cfg = SystemConfig.from_dict(
+        {"model": {"max_detections": max_det, "max_classified": kc},
+         "processing": {"input_size": [640, 640]}}
+    )
+    m = cfg.model
+    dtype = jnp.bfloat16
+    yolo = YOLOv8(num_classes=m.num_classes, width_mult=m.width_mult,
+                  depth_mult=m.depth_mult, dtype=dtype,
+                  stem_mode=os.environ.get("STEM", "conv"))
+    resnet = ResNet50(num_classes=m.num_classes, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    yolo_vars = yolo.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32), train=False)
+    resnet_vars = resnet.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32), train=False)
+    anchors, strides = make_anchors(feature_shapes((640, 640)), STRIDES)
+
+    images = np.random.default_rng(0).integers(0, 255, (batch, 640, 640, 3), np.uint8)
+    images_dev = jax.device_put(jnp.asarray(images))
+    anc, strd = jax.device_put(anchors), jax.device_put(strides)
+
+    def scanloop(stage_fn):
+        def make_loop(k):
+            def loop(*args):
+                def body(carry, _):
+                    return stage_fn(carry, *args), None
+                c, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+                return c
+            return loop
+        return make_loop
+
+    def ssum(out):
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(out))
+
+    results = {}
+    peak = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    only = set(filter(None, os.environ.get("STAGES", "").split(",")))
+
+    def want(name):
+        return not only or name in only
+
+    def measure(make_loop_, args_, iters_, trials_, hj):  # noqa: F811
+        # incremental rows: tunnel compiles are minutes each, so stream
+        # results instead of holding them for one final print
+        per_, fl_ = globals()["measure"](make_loop_, args_, iters_, trials_, hj)
+        print(json.dumps({"stage_row": {
+            "ms_per_batch": round(per_ * 1e3, 2),
+            "gflops_per_batch": round(fl_ / 1e9, 1),
+            "mfu": round(fl_ / per_ / 1e12 / peak, 3) if per_ > 0 else None,
+        }}), flush=True)
+        return per_, fl_
+
+    # 1. YOLO forward
+    def yolo_stage(carry, yv, imgs):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        x = imgs.astype(jnp.float32) / 255.0 + eps
+        dist, cls = yolo.apply(yv, x, train=False)
+        return ssum((dist, cls))
+
+    if want("yolo_fwd"):
+        per, fl = measure(scanloop(yolo_stage), (yolo_vars, images_dev),
+                          iters, trials, hoisted_jit)
+        results["yolo_fwd"] = (per, fl)
+
+    # 2. decode+NMS on fixed logits
+    na = anchors.shape[0]
+    dist_fix = jax.device_put(jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (batch, na, 64)), dtype))
+    cls_fix = jax.device_put(jnp.asarray(
+        np.random.default_rng(2).normal(-4, 2, (batch, na, m.num_classes)), dtype))
+
+    def nms_stage(carry, d, c, a, s):
+        eps = (carry * 1e-30).astype(d.dtype)
+        det = decode_and_nms(d + eps, c, a, s, reg_max=16,
+                             max_detections=max_det,
+                             iou_threshold=jnp.float32(0.5),
+                             score_threshold=jnp.float32(0.25))
+        return ssum(det)
+
+    if want("decode_nms"):
+        per, fl = measure(scanloop(nms_stage), (dist_fix, cls_fix, anc, strd),
+                          iters, trials, hoisted_jit)
+        results["decode_nms"] = (per, fl)
+
+    # 3. crop + resize + per-crop ResNet (fixed boxes)
+    boxes_fix = jax.device_put(jnp.asarray(
+        np.random.default_rng(3).uniform(0, 600, (batch, kc, 4)).astype(np.float32)))
+
+    def crop_stage(carry, rv, imgs, bxs):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        x = imgs.astype(jnp.float32) / 255.0 + eps
+        ci = 224
+        crops = jax.vmap(lambda img, bx: imops.crop_and_resize(img, bx, (ci, ci)))(x, bxs)
+        flat = imops.normalize_imagenet(crops.reshape(batch * kc, ci, ci, 3))
+        logits = resnet.apply(rv, flat, train=False)
+        return ssum(logits)
+
+    if want("crop_resnet"):
+        per, fl = measure(scanloop(crop_stage), (resnet_vars, images_dev, boxes_fix),
+                          iters, trials, hoisted_jit)
+        results["crop_resnet"] = (per, fl)
+
+    # 4. global classifier branch
+    from iqc_tpu.models.resnet import preprocess_for_classifier
+
+    def global_stage(carry, rv, imgs):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        x = imgs.astype(jnp.float32) / 255.0 + eps
+        xg = preprocess_for_classifier(x, 224)
+        return ssum(resnet.apply(rv, xg, train=False))
+
+    if want("global_resnet"):
+        per, fl = measure(scanloop(global_stage), (resnet_vars, images_dev),
+                          iters, trials, hoisted_jit)
+        results["global_resnet"] = (per, fl)
+
+    # 5. segmentation kernels (fixed boxes)
+    from iqc_tpu.ops.segmentation import segment_rois
+
+    ms = m.max_segmented
+    seg_boxes = jax.device_put(jnp.asarray(
+        np.random.default_rng(4).uniform(0, 600, (batch, ms, 4)).astype(np.float32)))
+    seg_cls = jax.device_put(jnp.zeros((batch, ms), jnp.int32))
+    seg_valid = jax.device_put(jnp.ones((batch, ms), bool))
+
+    roi = 128
+
+    def seg_stage(carry, imgs, bxs, cls_, vld):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        x = imgs.astype(jnp.float32) / 255.0 + eps
+        gray = imops.rgb_to_gray(x)
+
+        def seg_one(g, boxes, cids, valid):
+            rois = imops.crop_and_resize(g[..., None], boxes, (roi, roi))[..., 0]
+            bw = jnp.maximum(boxes[:, 2] - boxes[:, 0], 1.0)
+            bh = jnp.maximum(boxes[:, 3] - boxes[:, 1], 1.0)
+            return segment_rois(rois, cids, valid, bw / roi, bh / roi)
+
+        out = jax.vmap(seg_one)(gray, bxs, cls_, vld)
+        return ssum(out)
+
+    if want("segmentation"):
+        try:
+            per, fl = measure(scanloop(seg_stage),
+                              (images_dev, seg_boxes, seg_cls, seg_valid),
+                              iters, trials, hoisted_jit)
+            results["segmentation"] = (per, fl)
+        except Exception as e:  # signature drift: keep the table useful
+            print(f"segmentation stage skipped: {e}", file=sys.stderr)
+
+    # 6. full fused graph
+    fwd = build_full_forward(yolo, resnet, (640, 640), max_det, kc,
+                             max_segmented=m.max_segmented)
+
+    def full_stage(carry, yv, rv, imgs, a, s):
+        eps = (carry * 1e-30).astype(imgs.dtype)
+        out = fwd(yv, rv, imgs + eps, jnp.float32(0.25), jnp.float32(0.5),
+                  jnp.float32(0.6), jnp.float32(0.4), a, s)
+        return ssum(out)
+
+    if want("full"):
+        per, fl = measure(scanloop(full_stage),
+                          (yolo_vars, resnet_vars, images_dev, anc, strd),
+                          iters, trials, hoisted_jit)
+        results["full"] = (per, fl)
+
+    table = {}
+    for name, (per, fl) in results.items():
+        table[name] = {
+            "ms_per_batch": round(per * 1e3, 2),
+            "gflops_per_batch": round(fl / 1e9, 1),
+            "tflops": round(fl / per / 1e12, 1) if per > 0 else None,
+            "mfu": round(fl / per / 1e12 / peak, 3) if per > 0 else None,
+        }
+    print(json.dumps({"batch": batch, "stages": table}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

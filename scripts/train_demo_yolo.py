@@ -30,6 +30,7 @@ def main() -> None:
     device_mosaic = os.environ.get("DEVICE_MOSAIC", "1") == "1"
     trainer = YOLOTrainer({
         "seed": seed,
+        "stem_mode": os.environ.get("STEM", "conv"),
         "device_mosaic": device_mosaic,
         "mosaic_antialias": os.environ.get("MOSAIC_AA", "0") == "1",
         "image_size": image_size,
@@ -57,6 +58,7 @@ def main() -> None:
         "n_images": n_images, "image_size": image_size,
         "epochs": report["epochs_trained"],
         "seed": seed,
+        "stem_mode": c["stem_mode"],
         "pipeline": "device corpus + scanned epochs + device mosaic",
     }
     with open(out + ".train_report.json", "w") as f:

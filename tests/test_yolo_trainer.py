@@ -171,3 +171,52 @@ def test_loader_without_augmentation_is_deterministic_enumeration():
     # first batch is exactly samples 0..7 in order
     np.testing.assert_array_equal(a[0][0], ds.load(0)[0])
     np.testing.assert_array_equal(a[0][7], ds.load(7)[0])
+
+
+def test_s2d_stem_variant_shapes_and_learning():
+    """TPU-first space-to-depth stem (models/yolo.py stem_mode="s2d"):
+    identical head output shapes to the faithful stem, lossless
+    space_to_depth rearrangement, and the trainer learns with it."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqc_tpu.models.yolo import YOLOv8, space_to_depth
+
+    # space_to_depth is a pure pixel rearrangement
+    x = np.arange(2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+    s = np.asarray(space_to_depth(jnp.asarray(x), 4))
+    assert s.shape == (2, 2, 2, 48)
+    np.testing.assert_array_equal(np.sort(s.ravel()), np.sort(x.ravel()))
+    # block (0:4, 0:4) of image 0 lands entirely in s[0,0,0]
+    np.testing.assert_array_equal(
+        np.sort(s[0, 0, 0]), np.sort(x[0, :4, :4, :].ravel())
+    )
+
+    size = 64
+    for mode in ("conv", "s2d"):
+        mod = YOLOv8(num_classes=5, width_mult=0.125, reg_max=8,
+                     stem_mode=mode)
+        v = mod.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, size, size, 3), jnp.float32), train=False)
+        dist, cls = mod.apply(v, jnp.zeros((2, size, size, 3)), train=False)
+        a = (size // 8) ** 2 + (size // 16) ** 2 + (size // 32) ** 2
+        assert dist.shape == (2, a, 32) and cls.shape == (2, a, 5), mode
+
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = SyntheticDefectDataset(n=16, image_size=64, max_boxes=8, seed=0)
+    loader = DetectionLoader(ds, 8, mosaic_prob=0.0, mixup_prob=0.0, seed=0)
+    trainer = YOLOTrainer({
+        "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 2,
+        "width_mult": 0.125, "reg_max": 8, "compute_dtype": "float32",
+        "warmup_epochs": 0, "device_mosaic": False, "ema_decay": 0.9,
+        "stem_mode": "s2d", "learning_rate": 0.005,
+        "checkpoint_dir": "/tmp/iqc_yolo_s2d_test",
+    })
+    trainer.build(steps_per_epoch=len(loader))
+    assert "stem_s2d" in trainer.state.params
+    assert "stem" not in trainer.state.params
+    report = trainer.train(loader, None, epochs=2)
+    losses = trainer.metrics.history["train_loss"]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
