@@ -143,7 +143,8 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(0)
     yolo_vars = yolo.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32), train=False)
-    resnet_vars = resnet.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32), train=False)
+    ci = int(os.environ.get("BENCH_CLS_INPUT", "224"))
+    resnet_vars = resnet.init(rng, jnp.zeros((1, ci, ci, 3), jnp.float32), train=False)
 
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     resnet_apply = None
@@ -152,22 +153,26 @@ def main() -> None:
         from iqc_tpu.models import resnet_int8
 
         q = resnet_int8.quantize_resnet(resnet_vars)
-        cal = jax.random.normal(rng, (16, 224, 224, 3), jnp.float32)
+        cal = jax.random.normal(rng, (16, ci, ci, 3), jnp.float32)
         scales = resnet_int8.calibrate_activation_scales(q, [cal])
         resnet_vars = {"q": jax.device_put(q), "scales": jax.device_put(scales)}
         resnet_apply = lambda v, xx: resnet_int8.apply(
             v["q"], xx, act_scales=v["scales"]
         )
 
+    # crop-classifier input resolution (224 = reference transform parity;
+    # smaller = TPU-first option for small-defect crops, needs a matching
+    # retrained classifier — measure with BENCH_CLS_INPUT)
     if full:
         fwd = build_full_forward(
             yolo, resnet, (640, 640), m.max_detections, m.max_classified,
+            classifier_input=ci,
             max_segmented=m.max_segmented, resnet_apply=resnet_apply,
         )
     else:
         fwd = build_ensemble_forward(
             yolo, resnet, (640, 640), m.max_detections, m.max_classified,
-            resnet_apply=resnet_apply,
+            classifier_input=ci, resnet_apply=resnet_apply,
         )
 
     def small_out(out):
@@ -244,6 +249,7 @@ def main() -> None:
         "yolo_stem": stem,
         "max_detections": m.max_detections,
         "max_classified_crops": m.max_classified,
+        "classifier_input": ci,
         "segmentation_included": full,
     }
 

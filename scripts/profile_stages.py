@@ -38,6 +38,9 @@ def measure(make_loop, args, iters, trials, hoisted_jit):
     f1, cost1 = hoisted_jit(make_loop(1)).aot_compile(*args)
     fk, costk = hoisted_jit(make_loop(iters)).aot_compile(*args)
     flops = max(float(cost1.get("flops", 0.0)), float(costk.get("flops", 0.0)))
+    gb = max(float(cost1.get("bytes accessed", 0.0)),
+             float(costk.get("bytes accessed", 0.0))) / 1e9
+    measure.last_bytes_gb = gb  # HBM-roofline side channel
     _timed_fetch(f1, *args)
     _timed_fetch(fk, *args)
     per = []
@@ -109,11 +112,15 @@ def main() -> None:
     def measure(make_loop_, args_, iters_, trials_, hj):  # noqa: F811
         # incremental rows: tunnel compiles are minutes each, so stream
         # results instead of holding them for one final print
-        per_, fl_ = globals()["measure"](make_loop_, args_, iters_, trials_, hj)
+        gmeasure = globals()["measure"]
+        per_, fl_ = gmeasure(make_loop_, args_, iters_, trials_, hj)
+        gb = getattr(gmeasure, "last_bytes_gb", 0.0)
         print(json.dumps({"stage_row": {
             "ms_per_batch": round(per_ * 1e3, 2),
             "gflops_per_batch": round(fl_ / 1e9, 1),
             "mfu": round(fl_ / per_ / 1e12 / peak, 3) if per_ > 0 else None,
+            "hbm_gb_accessed": round(gb, 2),
+            "hbm_gbps": round(gb / per_, 0) if per_ > 0 else None,
         }}), flush=True)
         return per_, fl_
 

@@ -62,9 +62,12 @@ def main() -> None:
     n_images = int(os.environ.get("N_IMAGES", "1500"))
     epochs = int(os.environ.get("EPOCHS", "12"))
     out = os.environ.get("OUT", "models/resnet50_qc.msgpack")
+    # 224 = reference transform parity (resent_model.py:57-66); 128 = the
+    # TPU-first option for small-defect crops (model.classifier_input)
+    crop_size = int(os.environ.get("CROP_SIZE", "224"))
 
     t0 = time.time()
-    images, labels = render_crops(n_images)
+    images, labels = render_crops(n_images, crop_size=crop_size)
     print(f"rendered {len(images)} crops in {time.time()-t0:.1f}s; "
           f"class counts {np.bincount(labels, minlength=5).tolist()}", flush=True)
 
@@ -90,6 +93,7 @@ def main() -> None:
         "val_accuracy": round(float(val["accuracy"]), 4),
         "val_f1": round(float(val["f1"]), 4),
         "n_crops": int(len(images)),
+        "crop_size": crop_size,
         "epochs": report["epochs_trained"],
         "classes": list(DEFECT_CLASSES),
         "corpus": f"SyntheticDefectDataset(n={n_images}, image_size=320, seed=7)",

@@ -39,7 +39,9 @@ def main() -> None:
         "warmup_epochs": 2,
         "ema_decay": 0.995,
         "max_boxes": 16,
-        "checkpoint_dir": "checkpoints/yolo_demo",
+        # CKPT_DIR isolates experiment runs from the shipped demo checkpoint
+        # (mid-run best saves land here and would otherwise clobber it).
+        "checkpoint_dir": os.environ.get("CKPT_DIR", "checkpoints/yolo_demo"),
     })
     c = trainer.config
     train_ds = SyntheticDefectDataset(n_images, image_size, c["max_boxes"], seed=0)
