@@ -11,8 +11,10 @@ dashboard/clients work unchanged, with these upgrades:
 - The queue worker blocks on the queue instead of 10 ms busy-polling
   (``app.py:106-121``), and aggregates waiting requests into device
   batches (inverting the reference's thread fan-out, SURVEY.md §7 step 8).
-- Real-time push = Server-Sent Events at /events (Socket.IO equivalent;
-  flask-socketio is not available here).
+- Real-time channel: a native bidirectional WebSocket at /ws (the
+  Socket.IO equivalent — persistent, client emits start/stop_realtime,
+  server pushes status/detection_result/alert), plus one-way SSE at
+  /events as the proxy-friendly fallback.
 """
 
 from __future__ import annotations
@@ -789,6 +791,49 @@ def create_app(qc_system: Optional[QualityControlSystem] = None,
             content_type="text/event-stream",
             headers=[("Cache-Control", "no-cache"), ("X-Accel-Buffering", "no")],
         )
+
+    @app.websocket("/ws")
+    def ws_feed(ws, req: Request):
+        """Bidirectional realtime channel — the Socket.IO equivalent
+        (/root/reference/app.py:238-261, dashboard.html:752-765): server
+        pushes status/detection_result/alert events; the client emits
+        start_realtime/stop_realtime (and ping) as JSON text frames.
+        Unlike the bounded SSE stream, the connection is persistent."""
+        sub = system.events.subscribe()
+        forward = {"on": True}  # reference streams immediately on connect
+        ws.send_json({"event": "status",
+                      "data": {"message": "Connected to QC System"}})
+        try:
+            while ws.open:
+                msg = ws.recv(timeout=0.25)
+                if msg is not None and isinstance(msg, str):
+                    try:
+                        evt = json.loads(msg).get("event", "")
+                    except ValueError:
+                        evt = ""
+                    if evt == "start_realtime":
+                        forward["on"] = True
+                        system.is_processing = True
+                        ws.send_json({"event": "status",
+                                      "data": {"message":
+                                               "Real-time processing started"}})
+                    elif evt == "stop_realtime":
+                        forward["on"] = False
+                        system.is_processing = False
+                        ws.send_json({"event": "status",
+                                      "data": {"message":
+                                               "Real-time processing stopped"}})
+                    elif evt == "ping":
+                        ws.send_json({"event": "pong", "data": {"ts": _now()}})
+                while True:  # drain pending broker events
+                    try:
+                        event, data = sub.get_nowait()
+                    except queue.Empty:
+                        break
+                    if forward["on"]:
+                        ws.send_json({"event": event, "data": data})
+        finally:
+            system.events.unsubscribe(sub)
 
     @app.route("/realtime/start", methods=("POST",))
     def realtime_start(req: Request):

@@ -167,7 +167,26 @@ async function poll() {
 }
 setInterval(poll, 5000); poll();
 
+// Primary realtime channel: persistent bidirectional WebSocket (/ws), the
+// Socket.IO equivalent; one-way SSE polling remains as the fallback.
+let wsFailed = false, wsEverOpened = false;
+function listenWS() {
+  try {
+    const ws = new WebSocket((location.protocol === 'https:' ? 'wss://' : 'ws://') + location.host + '/ws');
+    ws.onopen = () => { wsEverOpened = true; ws.send(JSON.stringify({event: 'start_realtime'})); };
+    ws.onmessage = (m) => {
+      try { const e = JSON.parse(m.data); const d = e.data || {};
+        feed(e.event + ': ' + (d.message || `grade ${d.quality_grade} ${d.pass_fail||''}`)); } catch(err){}
+    };
+    ws.onclose = () => {
+      if (wsEverOpened) { setTimeout(listenWS, 2000); }        // reconnect WS
+      else { wsFailed = true; setTimeout(listen, 1000); }      // downgrade to SSE
+    };
+    ws.onerror = () => { ws.close(); };
+  } catch (e) { wsFailed = true; listen(); }
+}
 function listen() {
+  if (!wsFailed) { listenWS(); return; }
   fetch('/events?timeout=25&max=50').then(r => r.text()).then(text => {
     text.split('\\n\\n').forEach(block => {
       const ev = (block.match(/^event: (.*)$/m)||[])[1];

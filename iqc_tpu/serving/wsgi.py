@@ -2,19 +2,27 @@
 
 Provides what the serving layer needs from Flask: routing with methods,
 JSON request/response helpers, multipart/form-data file uploads, error
-handlers, and a threaded dev server. ~200 lines instead of a dependency.
+handlers, a threaded dev server, and native RFC6455 WebSocket routes (the
+bidirectional Socket.IO-equivalent channel the reference dashboard uses,
+/root/reference/app.py:238-261). ~300 lines instead of two dependencies.
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import io
 import json
 import re
+import select
+import struct
 import threading
 import traceback
 from typing import Any, Callable, Dict, List, Optional, Tuple
 from urllib.parse import parse_qs
-from wsgiref.simple_server import WSGIServer, WSGIRequestHandler, make_server
+from wsgiref.simple_server import (
+    ServerHandler, WSGIServer, WSGIRequestHandler, make_server,
+)
 from socketserver import ThreadingMixIn
 
 
@@ -128,6 +136,199 @@ def html(text: str, status: int = 200) -> Response:
     return Response(text.encode("utf-8"), status=status, content_type="text/html; charset=utf-8")
 
 
+# -- WebSocket (RFC 6455) ------------------------------------------------------
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def ws_accept_key(client_key: str) -> str:
+    """Sec-WebSocket-Accept for a client's Sec-WebSocket-Key."""
+    digest = hashlib.sha1((client_key + _WS_GUID).encode("ascii")).digest()
+    return base64.b64encode(digest).decode("ascii")
+
+
+class WebSocket:
+    """Server side of one upgraded connection: frame codec over the raw
+    socket. Text frames carry JSON event payloads; ping/pong/close are
+    handled inline. Fragmented messages are reassembled (continuation
+    frames), which is all a browser peer requires."""
+
+    def __init__(self, sock, mask_outgoing: bool = False,
+                 prebuffer: bytes = b""):
+        self.sock = sock
+        self.open = True
+        self._mask_outgoing = mask_outgoing  # client endpoints must mask
+        self._sendlock = threading.Lock()
+        self._fragments: List[bytes] = []
+        self._frag_opcode = 0
+        # bytes read past the handshake (frames coalesced with the 101)
+        self._rbuf = prebuffer
+
+    # -- send ------------------------------------------------------------------
+
+    def send(self, data, opcode: Optional[int] = None) -> None:
+        if not self.open:
+            return
+        if opcode is None:
+            opcode = 0x1 if isinstance(data, str) else 0x2
+        payload = data.encode("utf-8") if isinstance(data, str) else bytes(data)
+        head = bytes([0x80 | opcode])
+        mask_bit = 0x80 if self._mask_outgoing else 0
+        n = len(payload)
+        if n < 126:
+            head += bytes([mask_bit | n])
+        elif n < 1 << 16:
+            head += bytes([mask_bit | 126]) + struct.pack(">H", n)
+        else:
+            head += bytes([mask_bit | 127]) + struct.pack(">Q", n)
+        if self._mask_outgoing:
+            key = struct.pack(">I", threading.get_ident() & 0xFFFFFFFF)
+            payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+            head += key
+        try:
+            with self._sendlock:
+                self.sock.sendall(head + payload)
+        except OSError:
+            self.open = False
+
+    def send_json(self, obj: Any) -> None:
+        self.send(json.dumps(obj, default=str))
+
+    # -- receive ---------------------------------------------------------------
+
+    def _read_exact(self, n: int) -> Optional[bytes]:
+        buf = b""
+        if self._rbuf:
+            buf, self._rbuf = self._rbuf[:n], self._rbuf[n:]
+        while len(buf) < n:
+            try:
+                chunk = self.sock.recv(n - len(buf))
+            except OSError:
+                return None
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def recv(self, timeout: Optional[float] = None):
+        """Next text (str) or binary (bytes) message; None when the timeout
+        expires with no data or the connection closed (check .open)."""
+        while self.open:
+            if timeout is not None and not self._rbuf:
+                ready, _, _ = select.select([self.sock], [], [], timeout)
+                if not ready:
+                    return None
+            head = self._read_exact(2)
+            if head is None:
+                self.open = False
+                return None
+            fin = head[0] & 0x80
+            opcode = head[0] & 0x0F
+            masked = head[1] & 0x80
+            n = head[1] & 0x7F
+            if n == 126:
+                ext = self._read_exact(2)
+                if ext is None:
+                    self.open = False
+                    return None
+                n = struct.unpack(">H", ext)[0]
+            elif n == 127:
+                ext = self._read_exact(8)
+                if ext is None:
+                    self.open = False
+                    return None
+                n = struct.unpack(">Q", ext)[0]
+            key = b"\x00" * 4
+            if masked:
+                key = self._read_exact(4)
+                if key is None:
+                    self.open = False
+                    return None
+            payload = self._read_exact(n) if n else b""
+            if payload is None:
+                self.open = False
+                return None
+            if masked:
+                payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+            if opcode == 0x8:  # close: echo + shut
+                self.close()
+                return None
+            if opcode == 0x9:  # ping -> pong
+                self.send(payload, opcode=0xA)
+                continue
+            if opcode == 0xA:  # unsolicited pong
+                continue
+            if opcode in (0x1, 0x2) and not fin:  # fragmented start
+                self._fragments = [payload]
+                self._frag_opcode = opcode
+                continue
+            if opcode == 0x0:  # continuation
+                self._fragments.append(payload)
+                if not fin:
+                    continue
+                payload = b"".join(self._fragments)
+                opcode = self._frag_opcode
+                self._fragments = []
+            if opcode == 0x1:
+                return payload.decode("utf-8", "replace")
+            return payload
+        return None
+
+    def close(self, code: int = 1000) -> None:
+        if self.open:
+            try:
+                with self._sendlock:
+                    self.sock.sendall(
+                        bytes([0x88, 0x82 if self._mask_outgoing else 0x02])
+                        + (b"\x00\x00\x00\x00" if self._mask_outgoing else b"")
+                        + struct.pack(">H", code)
+                    )
+            except OSError:
+                pass
+        self.open = False
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+def ws_connect(host: str, port: int, path: str = "/ws",
+               headers: Optional[Dict[str, str]] = None,
+               timeout: float = 10.0) -> WebSocket:
+    """Tiny WebSocket *client* (tests / ops tooling): handshake + masked
+    frames per RFC 6455 5.1."""
+    import socket as _socket
+
+    sock = _socket.create_connection((host, port), timeout=timeout)
+    key = base64.b64encode(hashlib.sha1(str(id(sock)).encode()).digest()[:16])
+    extra = "".join(f"{k}: {v}\r\n" for k, v in (headers or {}).items())
+    sock.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key.decode()}\r\n"
+            f"Sec-WebSocket-Version: 13\r\n{extra}\r\n"
+        ).encode("ascii")
+    )
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        chunk = sock.recv(4096)
+        if not chunk:
+            raise ConnectionError("websocket handshake failed: peer closed")
+        resp += chunk
+    head, leftover = resp.split(b"\r\n\r\n", 1)
+    status = head.split(b"\r\n", 1)[0]
+    if b"101" not in status:
+        sock.close()
+        raise ConnectionError(f"websocket handshake rejected: {status!r}")
+    expect = ws_accept_key(key.decode())
+    if expect.encode() not in head:
+        sock.close()
+        raise ConnectionError("websocket handshake: bad Sec-WebSocket-Accept")
+    # frames that arrived coalesced with the 101 response stay readable
+    return WebSocket(sock, mask_outgoing=True, prebuffer=leftover)
+
+
 _STATUS_TEXT = {
     200: "OK", 201: "Created", 204: "No Content", 400: "Bad Request",
     401: "Unauthorized", 404: "Not Found", 405: "Method Not Allowed",
@@ -142,6 +343,7 @@ class App:
     def __init__(self, name: str = "app"):
         self.name = name
         self._routes: List[Tuple[re.Pattern, Tuple[str, ...], Callable]] = []
+        self._ws_routes: List[Tuple[re.Pattern, Callable]] = []
         self._error_handlers: Dict[int, Callable] = {}
         self.before_request: List[Callable[[Request], Optional[Response]]] = []
         self.after_request: List[Callable[[Request, Response], None]] = []
@@ -156,6 +358,27 @@ class App:
             return fn
 
         return deco
+
+    def websocket(self, path: str):
+        """Register a WebSocket handler ``fn(ws: WebSocket, req: Request)``
+        for GET-with-Upgrade requests on ``path`` (served by the dev server's
+        handler before WSGI — WSGI itself cannot speak 101)."""
+        pattern = re.compile(
+            "^" + re.sub(r"<([a-zA-Z_]+)>", r"(?P<\1>[^/]+)", path) + "$"
+        )
+
+        def deco(fn):
+            self._ws_routes.append((pattern, fn))
+            return fn
+
+        return deco
+
+    def match_websocket(self, path: str) -> Optional[Tuple[Callable, Dict[str, str]]]:
+        for pattern, fn in self._ws_routes:
+            m = pattern.match(path)
+            if m:
+                return fn, m.groupdict()
+        return None
 
     def errorhandler(self, status: int):
         def deco(fn):
@@ -234,8 +457,63 @@ class _ReusePortWSGIServer(_ThreadingWSGIServer):
 
 
 class _QuietHandler(WSGIRequestHandler):
+    """Quiet request handler that additionally intercepts WebSocket
+    upgrades before WSGI (WSGI cannot emit 101 + hijack the socket)."""
+
     def log_message(self, fmt, *args):  # pragma: no cover
         pass
+
+    def handle(self):
+        # mirror of wsgiref.simple_server.WSGIRequestHandler.handle with a
+        # WebSocket branch between parse_request and the WSGI dispatch
+        self.raw_requestline = self.rfile.readline(65537)
+        if len(self.raw_requestline) > 65536:
+            self.requestline = ""
+            self.request_version = ""
+            self.command = ""
+            self.send_error(414)
+            return
+        if not self.parse_request():
+            return
+
+        app = self.server.get_app()
+        if (
+            isinstance(app, App)
+            and "websocket" in self.headers.get("Upgrade", "").lower()
+            and "upgrade" in self.headers.get("Connection", "").lower()
+        ):
+            path = self.path.split("?", 1)[0]
+            match = app.match_websocket(path)
+            key = self.headers.get("Sec-WebSocket-Key")
+            if match and key:
+                fn, params = match
+                self.close_connection = True
+                accept = ws_accept_key(key)
+                self.wfile.write(
+                    (
+                        "HTTP/1.1 101 Switching Protocols\r\n"
+                        "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                        f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+                    ).encode("ascii")
+                )
+                self.wfile.flush()
+                ws = WebSocket(self.connection)
+                req = Request(self.get_environ())
+                try:
+                    fn(ws, req, **params)
+                except Exception:  # handler bugs must not kill the server
+                    traceback.print_exc()
+                finally:
+                    ws.close()
+                return
+            # upgrade requested on a non-ws path: fall through to WSGI (404)
+
+        handler = ServerHandler(
+            self.rfile, self.wfile, self.get_stderr(), self.get_environ(),
+            multithread=False,
+        )
+        handler.request_handler = self
+        handler.run(app)
 
 
 def serve(app: App, host: str = "0.0.0.0", port: int = 5000, background: bool = False,

@@ -35,6 +35,8 @@ def run_one(seed: int, device_mosaic: bool, epochs: int, n_images: int,
         "N_IMAGES": str(n_images),
         "IMAGE_SIZE": str(image_size),
         "OUT": out,
+        # isolate mid-run best saves from the shipped demo checkpoint
+        "CKPT_DIR": out.replace(".msgpack", "_ckpt"),
     })
     t0 = time.time()
     proc = subprocess.run(

@@ -448,3 +448,83 @@ def test_events_sse_streams_live(app, system):
     close = getattr(chunks, "close", None)
     if close:
         close()
+
+
+# -- WebSocket realtime channel (Socket.IO equivalent, ref app.py:238-261) -----
+
+
+@pytest.fixture(scope="module")
+def live_server(app):
+    """The app on a real TCP port (WebSocket needs the raw socket)."""
+    from iqc_tpu.serving.wsgi import serve
+
+    server = serve(app, host="127.0.0.1", port=0, background=True)
+    yield server.server_address
+    server.shutdown()
+
+
+def test_websocket_connect_and_status(live_server):
+    from iqc_tpu.serving.wsgi import ws_connect
+
+    host, port = live_server
+    ws = ws_connect(host, port, "/ws")
+    msg = json.loads(ws.recv(timeout=5.0))
+    assert msg["event"] == "status"
+    assert "Connected" in msg["data"]["message"]
+    ws.close()
+
+
+def test_websocket_bidirectional_realtime(live_server, system):
+    """Client emits start/stop_realtime; server acks with status and pushes
+    published events over the SAME persistent connection."""
+    from iqc_tpu.serving.wsgi import ws_connect
+
+    host, port = live_server
+    ws = ws_connect(host, port, "/ws")
+    json.loads(ws.recv(timeout=5.0))  # connect status
+
+    ws.send(json.dumps({"event": "start_realtime"}))
+    ack = json.loads(ws.recv(timeout=5.0))
+    assert ack["data"]["message"] == "Real-time processing started"
+    assert system.is_processing is True
+
+    system.events.publish("detection_result",
+                          {"quality_grade": "A", "pass_fail": "PASS"})
+    got = json.loads(ws.recv(timeout=5.0))
+    assert got["event"] == "detection_result"
+    assert got["data"]["quality_grade"] == "A"
+
+    ws.send(json.dumps({"event": "stop_realtime"}))
+    ack = json.loads(ws.recv(timeout=5.0))
+    assert ack["data"]["message"] == "Real-time processing stopped"
+    assert system.is_processing is False
+
+    # stopped: published events are NOT forwarded (ping still answered)
+    system.events.publish("alert", {"message": "suppressed"})
+    ws.send(json.dumps({"event": "ping"}))
+    nxt = json.loads(ws.recv(timeout=5.0))
+    assert nxt["event"] == "pong"
+    ws.close()
+
+
+def test_websocket_large_and_fragmented_frames(live_server):
+    """16-bit extended payload length round-trips (and the codec's masked
+    client frames are correctly unmasked server-side)."""
+    from iqc_tpu.serving.wsgi import ws_connect
+
+    host, port = live_server
+    ws = ws_connect(host, port, "/ws")
+    json.loads(ws.recv(timeout=5.0))
+    big = "x" * 70000  # 64-bit length path on send, ping echo skipped
+    ws.send(json.dumps({"event": "ping", "pad": big}))
+    msg = json.loads(ws.recv(timeout=10.0))
+    assert msg["event"] == "pong"
+    ws.close()
+
+
+def test_websocket_unknown_path_is_404(live_server):
+    from iqc_tpu.serving.wsgi import ws_connect
+
+    host, port = live_server
+    with pytest.raises(ConnectionError):
+        ws_connect(host, port, "/not-a-ws-route")
