@@ -203,3 +203,74 @@ class MVTecClassificationDataset:
 
     def class_counts(self) -> np.ndarray:
         return np.bincount(self.labels, minlength=len(self.class_names))
+
+
+class MVTecCropClassificationDataset:
+    """Defect-region crops (from ground-truth mask boxes) as classification
+    samples — the distribution the serving ensemble actually feeds the
+    per-crop ResNet (models/ensemble.py crop path), unlike whole resized
+    images where a small defect vanishes at 224px.
+
+    One sample per connected defect region: the mask bbox is padded by
+    ``margin`` (fraction of the larger side, floor ``min_crop`` px) and
+    resized to ``image_size``. Labels come from the defect-type folder.
+    """
+
+    def __init__(
+        self,
+        category_dir: str,
+        image_size: Tuple[int, int] = (224, 224),
+        margin: float = 0.35,
+        min_crop: int = 64,
+        class_names: Optional[Sequence[str]] = None,
+    ):
+        test_dir = os.path.join(category_dir, "test")
+        gt_dir = os.path.join(category_dir, "ground_truth")
+        if not os.path.isdir(test_dir):
+            raise FileNotFoundError(f"no test/ split under {category_dir}")
+        self.image_size = tuple(image_size)
+        self.margin = margin
+        self.min_crop = min_crop
+        defect_types = sorted(
+            d for d in os.listdir(test_dir)
+            if os.path.isdir(os.path.join(test_dir, d)) and d != "good"
+        )
+        self.class_names = list(class_names or defect_types)
+        # samples: (img_path, xyxy box in original px, label)
+        self.samples: List[Tuple[str, Tuple[int, int, int, int], int]] = []
+        from PIL import Image
+
+        for dt in defect_types:
+            label = self.class_names.index(dt) if dt in self.class_names else 0
+            for img_path in _list_images(os.path.join(test_dir, dt)):
+                stem = os.path.splitext(os.path.basename(img_path))[0]
+                mask_path = os.path.join(gt_dir, dt, f"{stem}_mask.png")
+                if not os.path.exists(mask_path):
+                    continue
+                with Image.open(mask_path) as m:
+                    mask = np.asarray(m.convert("L"))
+                for box in mask_to_boxes(mask):
+                    self.samples.append((img_path, box, label))
+        self.labels = np.asarray([l for _, _, l in self.samples], np.int32)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def load(self, index: int):
+        from PIL import Image
+
+        path, (x1, y1, x2, y2), label = self.samples[index]
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            pad = max(int(self.margin * max(x2 - x1, y2 - y1)),
+                      (self.min_crop - min(x2 - x1, y2 - y1)) // 2, 0)
+            cx1, cy1 = max(0, x1 - pad), max(0, y1 - pad)
+            cx2, cy2 = min(w, x2 + pad), min(h, y2 + pad)
+            crop = im.crop((cx1, cy1, cx2, cy2)).resize(
+                (self.image_size[1], self.image_size[0])
+            )
+        return np.asarray(crop, dtype=np.uint8), int(label)
+
+    def class_counts(self) -> np.ndarray:
+        return np.bincount(self.labels, minlength=len(self.class_names))

@@ -77,11 +77,17 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
         "warmup_epochs": 2,
         "ema_decay": 0.995,
         "max_boxes": 16,
+        # 204 train images are too few to train without augmentation (the
+        # first no-augmentation run plateaued at mAP50 0.44); host mosaic
+        # matches the shipped-checkpoint recipe (RESULTS.md round-2 A/B).
+        "device_mosaic": os.environ.get("DEVICE_MOSAIC", "0") == "1",
+        "mosaic_antialias": False,
         "checkpoint_dir": "checkpoints/yolo_mvtec",
     })
     c = trainer.config
+    host_mosaic = 0.0 if trainer.uses_device_mosaic else c["mosaic"]
     train_loader = DetectionLoader(train_ds, c["batch_size"],
-                                   mosaic_prob=0.0, mixup_prob=0.0)
+                                   mosaic_prob=host_mosaic, mixup_prob=0.0)
     val_loader = DetectionLoader(val_ds, c["batch_size"], mosaic_prob=0,
                                  mixup_prob=0, shuffle=False)
     report = trainer.train(train_loader, val_loader)
@@ -101,18 +107,18 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
 def train_classification(cat_dir: str, epochs: int, seed: int, out: str):
     from iqc_tpu.config import DEFECT_CLASSES
     from iqc_tpu.data.mvtec import (
-        MVTecClassificationDataset, SubsetDataset, split_indices,
+        MVTecCropClassificationDataset, SubsetDataset, split_indices,
     )
     from iqc_tpu.train.train_resnet import ResNetTrainer
 
-    ds = MVTecClassificationDataset(cat_dir, (224, 224), good_label=None)
-    # remap folder-derived class ids onto the serving class order so the
-    # checkpoint drops into the 5-class ensemble unchanged
-    remap = {old: DEFECT_CLASSES.index(name)
-             for old, name in enumerate(ds.class_names)}
-    ds.samples = [(p, remap[l]) for p, l in ds.samples]
-    ds.labels = np.asarray([l for _, l in ds.samples], np.int32)
-    ds.class_names = list(DEFECT_CLASSES)
+    # defect-region crops, not whole resized images: a 30px scratch on a
+    # 512px plate is invisible after a 224px whole-image resize (the
+    # whole-image run plateaued at 27% val acc), and crops are what the
+    # serving ensemble feeds this model anyway. Class ids come out in the
+    # serving order directly so the checkpoint drops into the ensemble.
+    ds = MVTecCropClassificationDataset(
+        cat_dir, (224, 224), class_names=list(DEFECT_CLASSES),
+    )
 
     train_idx, val_idx = split_indices(len(ds), val_fraction=0.25, seed=0)
     train_ds, val_ds = SubsetDataset(ds, train_idx), SubsetDataset(ds, val_idx)
@@ -178,8 +184,8 @@ def main() -> None:
     root = os.environ.get("ROOT", "data/mvtec_corpus")
     category = os.environ.get("CATEGORY", "metal_plate")
     img_size = int(os.environ.get("IMG_SIZE", "320"))
-    epochs_det = int(os.environ.get("EPOCHS_DET", "60"))
-    epochs_cls = int(os.environ.get("EPOCHS_CLS", "16"))
+    epochs_det = int(os.environ.get("EPOCHS_DET", "120"))
+    epochs_cls = int(os.environ.get("EPOCHS_CLS", "60"))
     seed = int(os.environ.get("SEED", "42"))
     n_per_defect = int(os.environ.get("N_PER_DEFECT", "48"))
     out_det = os.environ.get("OUT_DET", "models/yolov8n_qc_mvtec.msgpack")

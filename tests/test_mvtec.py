@@ -171,3 +171,42 @@ def test_subset_dataset_and_split(synth_corpus):
     ref = ds.load(va[0])
     np.testing.assert_array_equal(img, ref[0])
     assert sub.image_size == ds.image_size
+
+
+def test_crop_classification_dataset(mvtec_tree):
+    """One sample per defect REGION, cropped around the mask bbox with
+    margin and resized — the distribution the serving ensemble feeds the
+    per-crop classifier (whole-image resize hides small defects)."""
+    from iqc_tpu.data.mvtec import MVTecCropClassificationDataset
+
+    ds = MVTecCropClassificationDataset(
+        mvtec_tree, (64, 64), class_names=["hole", "scratch"],
+    )
+    # 2 defect types x 2 images x 1 region each
+    assert len(ds) == 4
+    assert ds.class_counts().tolist() == [2, 2]
+    img, label = ds.load(0)
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert label in (0, 1)
+    # margin: the crop region is padded beyond the 30x20 mask bbox and
+    # clamped to the image; min_crop floors tiny regions
+    ds_small = MVTecCropClassificationDataset(
+        mvtec_tree, (64, 64), margin=0.0, min_crop=128,
+        class_names=["hole", "scratch"],
+    )
+    img2, _ = ds_small.load(0)
+    assert img2.shape == (64, 64, 3)
+
+
+def test_crop_classification_custom_class_order(mvtec_tree):
+    from iqc_tpu.data.mvtec import MVTecCropClassificationDataset
+
+    ds = MVTecCropClassificationDataset(
+        mvtec_tree, (32, 32), class_names=["scratch", "hole"],
+    )
+    by_name = {}
+    for i, (_p, _b, label) in enumerate(ds.samples):
+        by_name.setdefault(label, _p)
+    # scratch folder maps to id 0 under the custom order
+    assert any("scratch" in p for l, p in by_name.items() if l == 0)
+    assert any("hole" in p for l, p in by_name.items() if l == 1)
