@@ -160,6 +160,24 @@ def main() -> None:
             v["q"], xx, act_scales=v["scales"]
         )
 
+    yolo_apply = None
+    yolo_int8_on = os.environ.get("BENCH_YOLO_INT8", "0") == "1"
+    if yolo_int8_on:
+        # int8 activations for the bandwidth-bound YOLO stage
+        # (models/yolo_int8.py); halves the HBM bytes its convs move
+        from iqc_tpu.models import yolo_int8
+
+        yq = yolo_int8.quantize_yolo(yolo_vars, stem_mode=stem)
+        ycal = jax.random.uniform(rng, (4, 640, 640, 3), jnp.float32)
+        yscales = yolo_int8.calibrate_activation_scales(
+            yq, [ycal], reg_max=yolo.reg_max, num_classes=m.num_classes)
+        yolo_vars = {"q": jax.device_put(yq),
+                     "scales": jax.device_put(yscales)}
+        yolo_apply = lambda v, xx: yolo_int8.apply(
+            v["q"], xx, reg_max=yolo.reg_max, num_classes=m.num_classes,
+            act_scales=v["scales"],
+        )
+
     # crop-classifier input resolution (224 = reference transform parity;
     # smaller = TPU-first option for small-defect crops, needs a matching
     # retrained classifier — measure with BENCH_CLS_INPUT)
@@ -168,11 +186,13 @@ def main() -> None:
             yolo, resnet, (640, 640), m.max_detections, m.max_classified,
             classifier_input=ci,
             max_segmented=m.max_segmented, resnet_apply=resnet_apply,
+            yolo_apply=yolo_apply,
         )
     else:
         fwd = build_ensemble_forward(
             yolo, resnet, (640, 640), m.max_detections, m.max_classified,
             classifier_input=ci, resnet_apply=resnet_apply,
+            yolo_apply=yolo_apply,
         )
 
     def small_out(out):
@@ -250,6 +270,7 @@ def main() -> None:
         "max_detections": m.max_detections,
         "max_classified_crops": m.max_classified,
         "classifier_input": ci,
+        "yolo_int8": yolo_int8_on,
         "segmentation_included": full,
     }
 

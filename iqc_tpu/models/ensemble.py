@@ -78,6 +78,7 @@ def build_ensemble_forward(
     max_classified: int,
     classifier_input: int = 224,
     resnet_apply=None,
+    yolo_apply=None,
 ):
     """Return the pure fused forward fn (jit it once, reuse forever).
 
@@ -90,6 +91,8 @@ def build_ensemble_forward(
     kc = max_classified
     if resnet_apply is None:
         resnet_apply = lambda v, xx: resnet.apply(v, xx, train=False)
+    if yolo_apply is None:
+        yolo_apply = lambda v, xx: yolo.apply(v, xx, train=False)
 
     def forward(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,
                 anchors, strides):
@@ -99,7 +102,7 @@ def build_ensemble_forward(
         b = x.shape[0]
 
         # --- detection ---
-        dist, cls = yolo.apply(yolo_vars, x, train=False)
+        dist, cls = yolo_apply(yolo_vars, x)
         det: Detections = decode_and_nms(
             dist, cls, anchors, strides,
             reg_max=yolo.reg_max, max_detections=max_detections,
@@ -190,6 +193,7 @@ def build_full_forward(
     max_segmented: int = 16,
     roi_size: int = 128,
     resnet_apply=None,
+    yolo_apply=None,
 ):
     """The complete streaming pipeline as ONE program (BASELINE config #5):
     detection + per-crop classification + fusion (build_ensemble_forward)
@@ -206,7 +210,7 @@ def build_full_forward(
 
     ens_fwd = build_ensemble_forward(
         yolo, resnet, input_size, max_detections, max_classified, classifier_input,
-        resnet_apply=resnet_apply,
+        resnet_apply=resnet_apply, yolo_apply=yolo_apply,
     )
     s = max_segmented
 

@@ -50,7 +50,45 @@ def main() -> None:
     trainer.ema_params = loaded["params"]
     trainer.state = trainer.state._replace(batch_stats=loaded["batch_stats"])
 
-    report = {"checkpoint": ckpt, "image_size": image_size,
+    int8 = os.environ.get("INT8", "0") == "1"
+    if int8:
+        # swap the trainer's predict fn for the true-int8 forward
+        # (models/yolo_int8.py) — measures the int8 mAP cost directly
+        import jax
+        import numpy as np
+
+        from iqc_tpu.data.yolo_dataset import SyntheticDefectDataset as _SDS
+        from iqc_tpu.models import yolo_int8
+        from iqc_tpu.ops.jit_utils import hoisted_jit
+        from iqc_tpu.ops.nms import decode_and_nms
+
+        q = yolo_int8.quantize_yolo(
+            {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},
+            stem_mode=meta.get("stem_mode", "conv"),
+        )
+        cal_ds = _SDS(8, image_size, trainer.config["max_boxes"], seed=99)
+        cal = np.stack([cal_ds.load(i)[0] for i in range(8)]).astype(np.float32) / 255.0
+        scales = yolo_int8.calibrate_activation_scales(
+            q, [cal], reg_max=trainer.config["reg_max"],
+            num_classes=trainer.config["num_classes"])
+        q_dev, scales_dev = jax.device_put(q), jax.device_put(scales)
+
+        @hoisted_jit
+        def predict_q(qq, ss, images, conf_t, iou_t, anchors, strides):
+            if jnp.issubdtype(images.dtype, jnp.integer):
+                images = images.astype(jnp.float32) / 255.0
+            dist, cls = yolo_int8.apply(
+                qq, images, reg_max=trainer.config["reg_max"],
+                num_classes=trainer.config["num_classes"], act_scales=ss)
+            return decode_and_nms(
+                dist, cls, anchors, strides, trainer.config["reg_max"],
+                max_detections=100, iou_threshold=iou_t, score_threshold=conf_t)
+
+        trainer._predict = lambda p, bs, im, c, i: predict_q(
+            q_dev, scales_dev, im, c, i,
+            trainer._anchors_dev, trainer._strides_dev)
+
+    report = {"checkpoint": ckpt, "image_size": image_size, "int8": int8,
               "val_seed": val_seed, "splits": {}}
     for n in splits:
         ds = SyntheticDefectDataset(n, image_size, trainer.config["max_boxes"],
