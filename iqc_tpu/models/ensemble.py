@@ -77,6 +77,7 @@ def build_ensemble_forward(
     max_detections: int,
     max_classified: int,
     classifier_input: int = 224,
+    box_voting: bool = True,
     resnet_apply=None,
     yolo_apply=None,
 ):
@@ -107,6 +108,7 @@ def build_ensemble_forward(
             dist, cls, anchors, strides,
             reg_max=yolo.reg_max, max_detections=max_detections,
             iou_threshold=iou_t, score_threshold=conf_t,
+            box_voting=box_voting,  # merge-NMS: +0.026 mAP50-95 (RESULTS.md)
         )
         areas = box_area(det.boxes)
         yolo_sev = detection_severity(det.scores, areas)

@@ -268,8 +268,10 @@ class YOLODetector:
         dtype: Any = jnp.float32,
         seed: int = 0,
         stem_mode: str = "conv",
+        box_voting: bool = True,
     ):
         self.model_path = model_path
+        self.box_voting = bool(box_voting)
         self.confidence_threshold = confidence_threshold
         self.nms_threshold = nms_threshold
         self.input_size = tuple(input_size)
@@ -294,6 +296,7 @@ class YOLODetector:
                 reg_max=self.module.reg_max,
                 max_detections=max_detections,
                 iou_threshold=iou_t, score_threshold=conf_t,
+                box_voting=self.box_voting,
             )
             from iqc_tpu.ops.boxes import box_area
 

@@ -154,12 +154,19 @@ def nms_single(
     class_aware: bool = True,
     iterations: Optional[int] = 16,
     use_pallas: Optional[bool] = None,
+    box_voting: bool = False,
 ) -> Detections:
     """Fixed-capacity NMS for one image.
 
     boxes [A,4], scores [A], classes [A] int, mask [A] bool (pre-filter).
     Returns Detections with K=max_detections slots, score-descending.
     ``use_pallas``: None = auto (Pallas VMEM kernel on TPU, XLA elsewhere).
+    ``box_voting``: replace each kept box with the score*IoU-weighted mean
+    of its overlapping same-class candidates (merge-NMS — the Ultralytics
+    stack's ``merge=True`` weighted-box option the reference inherits via
+    its YOLO wrapper, models/yolo_model.py:105-110). Pure localization
+    refinement: scores, classes and the keep set are unchanged. One extra
+    [K,K]x[K,4] matmul — MXU noise at K=100-300.
     """
     neg = jnp.asarray(-1.0, dtype=scores.dtype)
     s = jnp.where(mask & (scores > score_threshold), scores, neg)
@@ -192,6 +199,22 @@ def nms_single(
         keep = _suppression_fixed_point(iou, iou_threshold, iterations)
     valid = cand_valid & keep
 
+    if box_voting:
+        # weighted box fusion over the candidate pool: candidate j votes for
+        # kept box i with weight score_j * iou(i,j), gated at the NMS overlap
+        # threshold (every kept box votes for itself with weight score_i).
+        # iou_boxes carry the per-class offset, so cross-class weights are 0.
+        iou_full = iou_matrix(iou_boxes, iou_boxes)
+        w = jnp.where(
+            (iou_full >= iou_threshold) & cand_valid[None, :],
+            top_scores[None, :] * iou_full, 0.0,
+        )
+        voted = jnp.einsum("ij,jk->ik", w, top_boxes,
+                           preferred_element_type=jnp.float32)
+        voted = voted / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+        top_boxes = jnp.where(valid[:, None], voted.astype(top_boxes.dtype),
+                              top_boxes)
+
     # compact survivors to the front, preserving score order
     order = jnp.argsort(~valid, stable=True)
     return Detections(
@@ -211,6 +234,7 @@ def batched_nms(
     class_aware: bool = True,
     iterations: Optional[int] = 16,
     use_pallas: Optional[bool] = None,
+    box_voting: bool = False,
 ) -> Detections:
     """Batched class-aware NMS.
 
@@ -230,6 +254,7 @@ def batched_nms(
         class_aware=class_aware,
         iterations=iterations,
         use_pallas=use_pallas,
+        box_voting=box_voting,
     )
     return jax.vmap(fn)(boxes, scores, classes, mask)
 
@@ -245,6 +270,7 @@ def decode_and_nms(
     score_threshold: float,
     iterations: Optional[int] = 16,
     use_pallas: Optional[bool] = None,
+    box_voting: bool = False,
 ) -> Detections:
     """The fused kernel: DFL decode -> sigmoid scores -> class-aware NMS.
 
@@ -262,4 +288,5 @@ def decode_and_nms(
         score_threshold=score_threshold,
         iterations=iterations,
         use_pallas=use_pallas,
+        box_voting=box_voting,
     )

@@ -116,10 +116,15 @@ def evaluate_detections(
     with np.errstate(invalid="ignore"):
         map50 = float(np.nanmean(ap_per_class_thresh[:, 0]))
         map5095 = float(np.nanmean(ap_per_class_thresh))
+        per_thresh = np.nanmean(ap_per_class_thresh, axis=0)
     return {
         "mAP50": 0.0 if np.isnan(map50) else map50,
         "mAP50_95": 0.0 if np.isnan(map5095) else map5095,
         "precision": float(np.mean(prec50)) if prec50 else 0.0,
         "recall": float(np.mean(rec50)) if rec50 else 0.0,
         "per_class_ap50": ap_per_class_thresh[:, 0].tolist(),
+        # class-averaged AP at each IoU threshold (0.50..0.95) — shows
+        # whether a mAP50-95 gap is localization sharpness (high-IoU tail)
+        # or detection quality (uniform)
+        "per_thresh_ap": [float(x) for x in per_thresh],
     }

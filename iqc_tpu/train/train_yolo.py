@@ -63,6 +63,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "max_boxes": 64,
     "val_conf": 0.001,
     "val_iou": 0.6,
+    # merge-NMS box voting (ops/nms.py): +0.026 mAP50-95 on the 128-img val
+    # split (0.7335 -> 0.7591), mAP50 unchanged — measured on the shipped
+    # checkpoint, RESULTS.md. Default ON everywhere (ensemble/serving too).
+    "box_voting": True,
     "patience": 50,
     "checkpoint_dir": "checkpoints/yolo",
     "compute_dtype": "bfloat16",
@@ -313,6 +317,7 @@ class YOLOTrainer:
             return decode_and_nms(
                 dist, cls, anchors, strides, reg_max,
                 max_detections=100, iou_threshold=iou_t, score_threshold=conf_t,
+                box_voting=bool(self.config.get("box_voting", False)),
             )
 
         self._anchors_dev = jax.device_put(self.anchors)

@@ -33,7 +33,7 @@ def main() -> None:
         with open(meta_path) as f:
             meta = json.load(f).get("config", {})
 
-    trainer = YOLOTrainer({
+    cfg = {
         "image_size": image_size,
         "max_boxes": int(meta.get("max_boxes", 16)),
         "width_mult": float(meta.get("width_mult", 0.25)),
@@ -42,7 +42,10 @@ def main() -> None:
         "num_classes": int(meta.get("num_classes", 5)),
         "compute_dtype": meta.get("compute_dtype", "bfloat16"),
         "stem_mode": meta.get("stem_mode", "conv"),
-    })
+    }
+    if os.environ.get("BOX_VOTING") is not None:  # else DEFAULT_CONFIG (on)
+        cfg["box_voting"] = os.environ["BOX_VOTING"] == "1"
+    trainer = YOLOTrainer(cfg)
     trainer.build(steps_per_epoch=1)
     template = {"params": trainer.ema_params,
                 "batch_stats": trainer.state.batch_stats}
@@ -82,7 +85,8 @@ def main() -> None:
                 num_classes=trainer.config["num_classes"], act_scales=ss)
             return decode_and_nms(
                 dist, cls, anchors, strides, trainer.config["reg_max"],
-                max_detections=100, iou_threshold=iou_t, score_threshold=conf_t)
+                max_detections=100, iou_threshold=iou_t, score_threshold=conf_t,
+                box_voting=bool(trainer.config.get("box_voting", False)))
 
         trainer._predict = lambda p, bs, im, c, i: predict_q(
             q_dev, scales_dev, im, c, i,
@@ -103,6 +107,10 @@ def main() -> None:
             k: round(float(v), 4) for k, v in m1.items()
             if isinstance(v, (int, float))
         }
+        if "per_thresh_ap" in m1:
+            report["splits"][str(n)]["per_thresh_ap"] = [
+                round(float(v), 4) for v in m1["per_thresh_ap"]
+            ]
     print(json.dumps(report))
 
 

@@ -49,12 +49,27 @@ def run_one(seed: int, device_mosaic: bool, epochs: int, n_images: int,
                 proc.stderr[-2000:], "wall_s": round(wall, 1)}
     last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
     rep = json.loads(last)
-    return {
+    result = {
         "seed": seed, "device_mosaic": device_mosaic,
         "best_mAP50": rep["best_mAP50"],
         "final": rep.get("final", {}),
         "wall_s": round(wall, 1),
     }
+    # deterministic off-train eval on both val splits (the host arm doubles
+    # as candidate checkpoints for the mAP50-95>=0.75 target, VERDICT #2)
+    time.sleep(30)  # let the TPU client release cleanly
+    ev_env = dict(os.environ)
+    ev_env.update({"CKPT": out, "SPLITS": "64,128"})
+    ev = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "eval_yolo.py")],
+        env=ev_env, capture_output=True, text=True, timeout=1800, cwd=REPO,
+    )
+    if ev.returncode == 0:
+        lines = [l for l in ev.stdout.strip().splitlines() if l.startswith("{")]
+        if lines:
+            result["eval"] = json.loads(lines[-1])["splits"]
+    time.sleep(30)
+    return result
 
 
 def main() -> None:

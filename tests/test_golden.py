@@ -76,6 +76,9 @@ if __name__ == "__main__":
     cfg = SystemConfig.from_dict(
         {
             "model": {
+                # match conftest.tiny_config: never load shipped checkpoints
+                # (tiny arch; goldens are recorded vs seed-0 init)
+                "yolo_weights": "", "resnet_weights": "",
                 "width_mult": 0.125, "depth_mult": 0.334, "max_detections": 16,
                 "max_classified": 4, "confidence_threshold": 0.25,
                 "compute_dtype": "float32", "classifier_input": 64,
@@ -86,6 +89,7 @@ if __name__ == "__main__":
         }
     )
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    outputs = compute_outputs(cfg)  # compute BEFORE truncating the file
     with open(golden_path(), "w") as f:
-        json.dump(compute_outputs(cfg), f, indent=2)
+        json.dump(outputs, f, indent=2)
     print("wrote", golden_path())

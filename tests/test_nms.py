@@ -124,3 +124,55 @@ def test_batched_nms_shapes():
     out = nms_ops.batched_nms(jnp.asarray(boxes), jnp.asarray(scores), 20, 0.5, 0.25)
     assert out.boxes.shape == (b, 20, 4)
     assert out.valid.shape == (b, 20)
+
+
+def test_box_voting_semantics():
+    """Merge-NMS: keep set/scores/classes unchanged; each kept box becomes
+    the score*IoU-weighted mean of its overlapping same-class candidates."""
+    boxes = np.array([
+        [10, 10, 50, 50],     # kept (class 0)
+        [12, 12, 52, 52],     # suppressed by box 0, votes for it
+        [200, 200, 240, 240], # kept (class 1), isolated
+        [11, 11, 51, 51],     # class 1: overlaps box 0 spatially, must NOT vote
+    ], np.float32)
+    scores = np.array([0.9, 0.6, 0.8, 0.5], np.float32)
+    classes = np.array([0, 0, 1, 1], np.int32)
+    mask = np.ones(4, bool)
+
+    plain = nms_ops.nms_single(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(mask), max_detections=4, iou_threshold=0.5,
+        score_threshold=0.05, use_pallas=False)
+    voted = nms_ops.nms_single(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(mask), max_detections=4, iou_threshold=0.5,
+        score_threshold=0.05, use_pallas=False, box_voting=True)
+
+    np.testing.assert_array_equal(np.asarray(plain.valid), np.asarray(voted.valid))
+    np.testing.assert_array_equal(np.asarray(plain.scores), np.asarray(voted.scores))
+    np.testing.assert_array_equal(np.asarray(plain.classes), np.asarray(voted.classes))
+
+    v = np.asarray(voted.valid)
+    vb = np.asarray(voted.boxes)[v]
+    pb = np.asarray(plain.boxes)[v]
+    # kept class-0 box moved toward its suppressed voter (weighted mean
+    # strictly between the two source boxes on every coordinate)
+    i0 = int(np.argmax(np.asarray(voted.scores)))
+    assert np.all(vb[i0] > boxes[0]) and np.all(vb[i0] < boxes[1])
+    # hand-computed expectation: weights s_j * iou(0, j)
+    def iou(a, b):
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        ua = (a[2]-a[0])*(a[3]-a[1]) + (b[2]-b[0])*(b[3]-b[1]) - inter
+        return inter / ua
+    w0, w1 = 0.9 * 1.0, 0.6 * iou(boxes[0], boxes[1])
+    expect = (w0 * boxes[0] + w1 * boxes[1]) / (w0 + w1)
+    np.testing.assert_allclose(vb[i0], expect, rtol=1e-4)
+    # isolated class-1 box is unchanged (class-3 overlap was cross-class,
+    # box 3 itself was suppressed... box 3 is class 1 overlapping box 0
+    # only spatially; the class-1 kept box at (200,200) has no voters)
+    i1 = int(np.argmin(np.abs(np.asarray(voted.scores) - 0.8)))
+    np.testing.assert_allclose(vb[i1], boxes[2], rtol=1e-5)
+    # class isolation: the class-0 voted box ignored the class-1 box 3
+    assert not np.allclose(vb[i0], (0.9*boxes[0]+0.6*iou(boxes[0],boxes[1])*boxes[1]+0.5*iou(boxes[0],boxes[3])*boxes[3])/(0.9+0.6*iou(boxes[0],boxes[1])+0.5*iou(boxes[0],boxes[3])))
