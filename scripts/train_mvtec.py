@@ -90,6 +90,26 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
                                    mosaic_prob=host_mosaic, mixup_prob=0.0)
     val_loader = DetectionLoader(val_ds, c["batch_size"], mosaic_prob=0,
                                  mixup_prob=0, shuffle=False)
+    if os.environ.get("SKIP_DET") == "1" and os.path.exists(out):
+        # resume from an already-trained detection checkpoint (e.g. after a
+        # wall-clock timeout cut the cycle mid-classifier): deterministic
+        # re-eval only
+        from iqc_tpu.train.checkpoint import load_variables
+
+        trainer.build(steps_per_epoch=1)
+        tmpl = {"params": trainer.ema_params,
+                "batch_stats": trainer.state.batch_stats}
+        loaded = load_variables(out, tmpl)
+        trainer.ema_params = loaded["params"]
+        trainer.state = trainer.state._replace(batch_stats=loaded["batch_stats"])
+        final = trainer.validate(val_loader)
+        return {
+            "best_mAP50": round(float(final["mAP50"]), 4),
+            "val": {k: round(float(v), 4) for k, v in final.items()
+                    if isinstance(v, (int, float))},
+            "epochs": 0, "n_train": len(train_ds), "n_val": len(val_ds),
+            "reused_checkpoint": out,
+        }
     report = trainer.train(train_loader, val_loader)
     trainer.save(out)
     # deterministic re-eval of the saved weights (repeat-call equality is
