@@ -179,6 +179,10 @@ class EdgeConfig:
     XLA AOT compilation + bf16/int8 quantization (``iqc_tpu/models/optimizer.py``)."""
 
     precision: str = "bf16"  # fp32 | bf16 | int8
+    # under int8: run the detector as true-int8 MXU convs too
+    # (models/yolo_int8.py — mAP-parity measured on the shipped checkpoint,
+    # RESULTS.md r3). False = weight-only int8 storage for YOLO.
+    yolo_int8: bool = True
     max_batch_size: int = 8
     compilation_cache_dir: str = ".xla_cache"
 

@@ -64,6 +64,7 @@ def export_ensemble(predictor, path: str, batch_size: int = 1) -> Dict:
         predictor.max_detections, predictor.max_classified,
         classifier_input=m.classifier_input,
         resnet_apply=predictor._resnet_apply,
+        yolo_apply=getattr(predictor, "_yolo_apply", None),
     )
 
     def fn(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,

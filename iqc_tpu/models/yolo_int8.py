@@ -31,6 +31,7 @@ from iqc_tpu.models.resnet_int8 import (
     _dyn_scale,
     _fold_bn,
     _quant_conv_weights,
+    tree_size_bytes,
 )
 from iqc_tpu.models.yolo import _depth, _make_divisible, space_to_depth
 
