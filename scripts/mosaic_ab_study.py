@@ -79,9 +79,17 @@ def main() -> None:
     image_size = int(os.environ.get("IMAGE_SIZE", "320"))
     out_json = os.environ.get("OUT_JSON", "docs/mosaic_ab_r3.json")
 
+    arms = [a.strip() for a in
+            os.environ.get("ARMS", "device,host").split(",") if a.strip()]
+    arm_flags = [a == "device" for a in arms]
+    # per-arm seed override (resume support): SEEDS_DEVICE / SEEDS_HOST
     results = []
-    for device_mosaic in (True, False):
-        for seed in seeds:
+    for device_mosaic in arm_flags:
+        arm_env = os.environ.get(
+            "SEEDS_DEVICE" if device_mosaic else "SEEDS_HOST")
+        arm_seeds = ([int(s) for s in arm_env.split(",") if s]
+                     if arm_env else seeds)
+        for seed in arm_seeds:
             arm = "device" if device_mosaic else "host"
             print(f"[{time.strftime('%H:%M:%S')}] run arm={arm} seed={seed}",
                   flush=True)
