@@ -385,12 +385,13 @@ class EnsemblePredictor:
         )
 
         # serving precision (TensorRT-equivalent edge config, config.yaml:139-150).
-        # int8 = TRUE int8 MXU inference for the ResNet crop classifier
-        # (int8 convs run at 2x the bf16 rate on v5e — models/resnet_int8.py,
-        # activation scales calibrated on synthetic defect crops, the
-        # calibration-dataset step of config.yaml:148-150) + weight-only
-        # int8 storage for the YOLO detector (small-channel convs are not
-        # MXU-bound, so integer matmuls would not pay there).
+        # int8 = TRUE int8 MXU inference for BOTH models: the ResNet crop
+        # classifier (compute-bound — int8 convs run at 2x the bf16 rate on
+        # v5e, models/resnet_int8.py) and the YOLO detector (HBM-bandwidth-
+        # bound — int8 activations halve its bytes, models/yolo_int8.py;
+        # edge.yolo_int8=false reverts to weight-only storage). Activation
+        # scales are statically calibrated on synthetic defect renders (the
+        # calibration-dataset step of config.yaml:148-150).
         self.precision_report = None
         self._resnet_apply = None
         self._yolo_apply = None
