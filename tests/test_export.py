@@ -64,3 +64,29 @@ def test_export_batch_mismatch_raises(predictor, rng, tmp_path):
     engine = load_exported(path)
     with pytest.raises(ValueError, match="batch"):
         engine(rng.integers(0, 255, (3, 96, 96, 3), dtype=np.uint8))
+
+
+def test_export_reload_int8_mode(tiny_config, rng, tmp_path):
+    """The int8 serving profile (true-int8 ResNet + true-int8 YOLO) exports
+    and reloads to detection-identical outputs — the quantized graph and
+    its q/scales trees ride the artifact like any other weights."""
+    import copy
+
+    cfg = copy.deepcopy(tiny_config)
+    cfg.edge.precision = "int8"
+    pred = EnsemblePredictor(config=cfg)
+    assert pred.precision_report["yolo"].startswith("true-int8")
+
+    path = str(tmp_path / "ensemble_int8.iqc")
+    export_ensemble(pred, path, batch_size=1)
+    engine = load_exported(path)
+
+    images = rng.integers(0, 255, (1, 96, 96, 3), dtype=np.uint8)
+    live = pred.run(images)
+    out = engine.outputs(images)
+    np.testing.assert_array_equal(np.asarray(live.valid), out.valid)
+    np.testing.assert_array_equal(np.asarray(live.classes), out.classes)
+    v = out.valid
+    np.testing.assert_allclose(
+        np.asarray(live.boxes)[v], out.boxes[v], rtol=1e-5, atol=1e-4
+    )
