@@ -73,9 +73,18 @@ def assign_targets(
     candidate = inside & gt_valid[:, None]
 
     iou = _pairwise_iou(gt_boxes, pred_boxes)  # [M,A]
-    cls_score = jnp.take_along_axis(
-        pred_scores.T, jnp.clip(gt_classes, 0, pred_scores.shape[1] - 1)[:, None], axis=0
-    )  # pred_scores.T is [C,A]; result [M,A]
+    # Row-select pred_scores.T[gt_classes] WITHOUT a data-dependent gather
+    # (CLAUDE.md rule 4: dynamic gathers are pathological on this backend).
+    # A boolean one-hot mask + masked sum picks exactly one row per gt, so
+    # the result is bit-identical to the gather (each output element is
+    # value * 1.0 summed with zeros).
+    cls_sel = (
+        jnp.clip(gt_classes, 0, pred_scores.shape[1] - 1)[:, None]
+        == jnp.arange(pred_scores.shape[1])[None, :]
+    )  # [M,C]
+    cls_score = jnp.sum(
+        jnp.where(cls_sel[:, :, None], pred_scores.T[None, :, :], 0.0), axis=1
+    )  # [M,A]
     align = (cls_score**cfg.tal_alpha) * (iou**cfg.tal_beta)
     align = jnp.where(candidate, align, 0.0)
 
@@ -98,13 +107,27 @@ def assign_targets(
     best_gt = jnp.argmax(iou_masked, axis=0)                     # [A]
     fg = jnp.max(iou_masked, axis=0) > -0.5                       # [A]
 
-    tgt_class = jnp.where(fg, gt_classes[best_gt], 0)
-    tgt_box = gt_boxes[best_gt]
+    # Everything indexed by best_gt is selected through a boolean one-hot
+    # mask + masked sum instead of gathers: `gt_boxes[best_gt]`,
+    # `align[best_gt, arange(a)]` etc. are data-dependent (2-D) gathers,
+    # which this backend lowers pathologically (CLAUDE.md rule 4 — the same
+    # pattern cost crop_and_resize ~300 ms before its matmul rewrite).
+    # Exactly one mask element per anchor column is hot, so each masked sum
+    # reproduces the gather bit-for-bit (value * 1.0 + zeros).
+    sel = best_gt[None, :] == jnp.arange(m)[:, None]              # [M,A]
+    tgt_class = jnp.where(
+        fg, jnp.sum(jnp.where(sel, gt_classes[:, None], 0), axis=0), 0
+    )
+    tgt_box = jnp.sum(
+        jnp.where(sel[:, :, None], gt_boxes[:, None, :], 0.0), axis=0
+    )  # [A,4]
     # soft score: alignment normalized per gt so its max matches its max IoU
-    align_sel = align[best_gt, jnp.arange(a)]
+    align_sel = jnp.sum(jnp.where(sel, align, 0.0), axis=0)       # [A]
     gt_max_align = jnp.max(align, axis=1)
     gt_max_iou = jnp.max(jnp.where(mask, iou, 0.0), axis=1)
-    norm = gt_max_iou[best_gt] / jnp.maximum(gt_max_align[best_gt], 1e-9)
+    norm = jnp.sum(jnp.where(sel, gt_max_iou[:, None], 0.0), axis=0) / jnp.maximum(
+        jnp.sum(jnp.where(sel, gt_max_align[:, None], 0.0), axis=0), 1e-9
+    )
     tgt_score = jnp.where(fg, align_sel * norm, 0.0)
 
     return {
@@ -130,8 +153,12 @@ def dfl_loss(
     w_hi = t - lo
     w_lo = 1.0 - w_hi
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    lp_lo = jnp.take_along_axis(logp, lo[..., None], axis=-1)[..., 0]
-    lp_hi = jnp.take_along_axis(logp, hi[..., None], axis=-1)[..., 0]
+    # bin selection as a one-hot masked sum, not take_along_axis: the
+    # data-dependent gather on the minor axis lowers badly on TPU
+    # (CLAUDE.md rule 4); exactly one bin is hot so this is bit-identical.
+    bins = jnp.arange(reg_max)
+    lp_lo = jnp.sum(jnp.where(lo[..., None] == bins, logp, 0.0), axis=-1)
+    lp_hi = jnp.sum(jnp.where(hi[..., None] == bins, logp, 0.0), axis=-1)
     return jnp.mean(-(w_lo * lp_lo + w_hi * lp_hi), axis=-1)
 
 
