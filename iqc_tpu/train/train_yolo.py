@@ -67,6 +67,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     # split (0.7335 -> 0.7591), mAP50 unchanged — measured on the shipped
     # checkpoint, RESULTS.md. Default ON everywhere (ensemble/serving too).
     "box_voting": True,
+    # stage whole host-built epochs on device (one packed upload + one
+    # scanned dispatch per epoch) when the epoch fits IQC_STAGED_EPOCH_MB.
+    # Streaming pays ~120 ms dispatch + ~120 ms-fixed upload per step over
+    # the tunnel; staging amortizes both across the epoch.
+    "staged_host_epochs": True,
     "patience": 50,
     "checkpoint_dir": "checkpoints/yolo",
     "compute_dtype": "bfloat16",
@@ -100,6 +105,12 @@ class YOLOTrainer:
         self.state = None
         self.ema_params = None
         self._train_step = None
+        self._staged_run = None
+        self._pending_batches = None
+        self._epoch_fn = None
+        self._val_scan = None
+        self._val_cache: Dict[int, Any] = {}
+        self._staged_logged = False
 
     # -- setup -------------------------------------------------------------------
 
@@ -287,8 +298,55 @@ class YOLOTrainer:
 
             self._epoch_fn = jax.jit(epoch_fn, donate_argnums=(0, 1))
             self._anchors_r, self._strides_r = anchors_r, strides_r
+
+            # staged host epochs: the loader's host-built batches for ONE
+            # epoch upload as a single packed buffer and train inside one
+            # scanned dispatch. This is the host-mosaic analog of the
+            # device-corpus path — same per-epoch dispatch profile, but the
+            # augmentation stays host-side (DetectionLoader mosaic4/mixup).
+            # The scan body is the full streaming step, so in-batch device
+            # mosaic (when active) keys off state.step identically to the
+            # streaming path.
+            _staged_compiled = {}
+
+            def staged_run(st, ema, batches):
+                arrs = [
+                    np.stack([np.asarray(b["images"]) for b in batches]),
+                    np.stack([np.asarray(b["boxes"]) for b in batches]),
+                    np.stack([np.asarray(b["classes"]) for b in batches]),
+                    np.stack([np.asarray(b["valid"]) for b in batches]),
+                ]
+                key = tuple((a.shape, str(a.dtype)) for a in arrs)
+                fn = _staged_compiled.get(key)
+                if fn is None:
+                    specs = batch_specs(arrs)
+
+                    def staged_epoch(state, ema_, buf, anchors, strides):
+                        im, bx, cl, vl = unpack_batch_device(buf, specs)
+
+                        def body(carry, xs):
+                            st_, em_ = carry
+                            b_i, b_b, b_c, b_v = xs
+                            st_, em_, parts = step(
+                                st_, em_, b_i, b_b, b_c, b_v, anchors, strides
+                            )
+                            return (st_, em_), parts
+
+                        (state, ema_), parts = jax.lax.scan(
+                            body, (state, ema_), (im, bx, cl, vl)
+                        )
+                        return state, ema_, parts
+
+                    fn = _staged_compiled[key] = jax.jit(
+                        staged_epoch, donate_argnums=(0, 1)
+                    )
+                buf = jnp.asarray(pack_batch_host(arrs))
+                return fn(st, ema, buf, anchors_r, strides_r)
+
+            self._staged_run = staged_run
         else:
             self._epoch_fn = None
+            self._staged_run = None
             repl = NamedSharding(self.mesh.mesh, P())
             batch_sh = NamedSharding(self.mesh.mesh, P(self.mesh.data_axis))
             self._train_step_fn = jax.jit(
@@ -305,8 +363,8 @@ class YOLOTrainer:
 
         from iqc_tpu.ops.jit_utils import hoisted_jit
 
-        @hoisted_jit
-        def predict(params, batch_stats, images, conf_t, iou_t, anchors, strides):
+        def predict_core(params, batch_stats, images, conf_t, iou_t, anchors,
+                         strides):
             if jnp.issubdtype(images.dtype, jnp.integer):
                 images = images.astype(jnp.float32) / 255.0
             dist, cls = module.apply(
@@ -316,9 +374,32 @@ class YOLOTrainer:
 
             return decode_and_nms(
                 dist, cls, anchors, strides, reg_max,
-                max_detections=100, iou_threshold=iou_t, score_threshold=conf_t,
+                # clamp to the anchor count: tiny eval resolutions (64px =
+                # 84 anchors) would otherwise ask top_k for more candidates
+                # than exist
+                max_detections=min(100, int(anchors.shape[0])),
+                iou_threshold=iou_t, score_threshold=conf_t,
                 box_voting=bool(self.config.get("box_voting", False)),
             )
+
+        predict = hoisted_jit(predict_core)
+
+        # scanned validation over a device-resident val set: every batch's
+        # predict+NMS runs inside ONE dispatch, detections fetch as ONE
+        # bulk transfer (streaming validate pays dispatch+upload+fetch per
+        # batch — ~3 s/epoch for 128 images over the tunnel)
+        def val_scan(params, batch_stats, imgs, conf_t, iou_t, anchors,
+                     strides):
+            def body(_, im):
+                det = predict_core(params, batch_stats, im, conf_t, iou_t,
+                                   anchors, strides)
+                return _, (det.boxes, det.scores, det.classes, det.valid)
+
+            _, outs = jax.lax.scan(body, 0, imgs)
+            return outs
+
+        self._val_scan = jax.jit(val_scan)
+        self._val_cache: Dict[int, Any] = {}
 
         self._anchors_dev = jax.device_put(self.anchors)
         self._strides_dev = jax.device_put(self.strides)
@@ -366,6 +447,46 @@ class YOLOTrainer:
                     n, imgs.nbytes / 2**20)
         return tuple(jax.device_put(x) for x in (imgs, bxs, cls_, vld))
 
+    def _maybe_stage_epoch(self, loader):
+        """Materialize one epoch of host-built batches for the staged path.
+
+        Returns the batch list when staging applies (single-device mesh,
+        ``staged_host_epochs`` on, uniform batch shapes, epoch under
+        IQC_STAGED_EPOCH_MB), else None. When the epoch was materialized
+        but turns out ineligible (ragged shapes / too large), the batches
+        are parked in ``self._pending_batches`` so the streaming loop
+        consumes them without re-running host augmentation."""
+        import os as _os
+
+        if self._staged_run is None or not self.config.get(
+            "staged_host_epochs", True
+        ):
+            return None
+        cap_mb = float(_os.environ.get("IQC_STAGED_EPOCH_MB", "1024"))
+        it = iter(loader)
+        first = next(it, None)
+        if first is None:
+            return None
+        per_batch_mb = sum(v.nbytes for v in first.values()) / 2**20
+        if per_batch_mb * len(loader) > cap_mb:
+            import itertools
+
+            self._pending_batches = itertools.chain([first], it)
+            return None
+        batches = [first] + list(it)
+        shape0 = {k: v.shape for k, v in first.items()}
+        if any({k: v.shape for k, v in b.items()} != shape0 for b in batches[1:]):
+            self._pending_batches = batches
+            return None
+        if not self._staged_logged:
+            logger.info(
+                "staged host epoch: %d batches (%.0f MB) upload as one "
+                "buffer, epoch runs as one scanned dispatch",
+                len(batches), per_batch_mb * len(batches),
+            )
+            self._staged_logged = True
+        return batches
+
     def train(self, train_loader: DetectionLoader,
               val_loader: Optional[DetectionLoader] = None,
               epochs: Optional[int] = None) -> Dict:
@@ -403,17 +524,25 @@ class YOLOTrainer:
                 )
                 mean = {k: float(jnp.mean(v)) for k, v in parts_t.items()}
             else:
-                losses = []
-                for batch in train_loader:
-                    self.state, self.ema_params, parts = self._train_step(
-                        self.state, self.ema_params, batch["images"],
-                        batch["boxes"], batch["classes"], batch["valid"],
+                staged = self._maybe_stage_epoch(train_loader)
+                if staged is not None:
+                    self.state, self.ema_params, parts_t = self._staged_run(
+                        self.state, self.ema_params, staged
                     )
-                    losses.append(parts)
-                mean = {
-                    k: float(jnp.mean(jnp.stack([p[k] for p in losses])))
-                    for k in losses[0]
-                } if losses else {}
+                    mean = {k: float(jnp.mean(v)) for k, v in parts_t.items()}
+                else:
+                    losses = []
+                    for batch in self._pending_batches or train_loader:
+                        self.state, self.ema_params, parts = self._train_step(
+                            self.state, self.ema_params, batch["images"],
+                            batch["boxes"], batch["classes"], batch["valid"],
+                        )
+                        losses.append(parts)
+                    self._pending_batches = None
+                    mean = {
+                        k: float(jnp.mean(jnp.stack([p[k] for p in losses])))
+                        for k in losses[0]
+                    } if losses else {}
             row = {f"train_{k}": v for k, v in mean.items()}
             if val_loader is not None:
                 val = self.validate(val_loader)
@@ -439,8 +568,63 @@ class YOLOTrainer:
 
     # -- validation (train_yolo.py:181-211) ------------------------------------------
 
+    def _maybe_device_val(self, loader) -> Optional[tuple]:
+        """Upload a deterministic val set once; later validate() calls scan
+        it in one dispatch. Returns (device images (E,B,H,W,3), host gts)
+        or None to stream (augmented/shuffled/ragged/oversized loaders)."""
+        import os as _os
+
+        if self._epoch_fn is None:  # multi-device mesh: stream per batch
+            return None
+        if (getattr(loader, "mosaic_prob", 0) or
+                getattr(loader, "mixup_prob", 0) or
+                getattr(loader, "shuffle", True)):
+            return None
+        cached = self._val_cache.get(id(loader))
+        if cached is not None:
+            return cached
+        batches = list(loader)
+        if not batches:
+            return None
+        shape0 = batches[0]["images"].shape
+        if any(b["images"].shape != shape0 for b in batches[1:]):
+            return None
+        imgs = np.stack([b["images"] for b in batches])
+        if imgs.nbytes / 2**20 > float(
+            _os.environ.get("IQC_DEVICE_VAL_MB", "512")
+        ):
+            return None
+        gts = []
+        for b in batches:
+            for i in range(len(b["images"])):
+                gv = b["valid"][i]
+                gts.append({"boxes": b["boxes"][i][gv],
+                            "classes": b["classes"][i][gv]})
+        cached = (jax.device_put(imgs), gts)
+        self._val_cache[id(loader)] = cached
+        return cached
+
     def validate(self, loader: DetectionLoader) -> Dict:
         c = self.config
+        resident = self._maybe_device_val(loader)
+        if resident is not None:
+            imgs_dev, gts = resident
+            outs = self._val_scan(
+                self.ema_params, self.state.batch_stats, imgs_dev,
+                jnp.float32(c["val_conf"]), jnp.float32(c["val_iou"]),
+                self._anchors_dev, self._strides_dev,
+            )
+            d_boxes, d_scores, d_classes, d_valid = jax.device_get(outs)
+            preds = []
+            for e in range(d_valid.shape[0]):
+                for i in range(d_valid.shape[1]):
+                    v = d_valid[e, i]
+                    preds.append({
+                        "boxes": d_boxes[e, i][v],
+                        "scores": d_scores[e, i][v],
+                        "classes": d_classes[e, i][v],
+                    })
+            return evaluate_detections(preds, gts, c["num_classes"])
         preds, gts = [], []
         for batch in loader:
             det = self._predict(

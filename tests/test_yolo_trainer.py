@@ -155,6 +155,129 @@ def test_trainer_device_corpus_scanned_epoch():
     assert int(trainer.state.step) == 4
 
 
+def test_staged_host_epoch_matches_streaming():
+    """Staged host epochs (one packed upload + one scanned dispatch per
+    epoch) must produce the same training trajectory as the per-step
+    streaming path — the staging only reschedules data movement, the math
+    (host mosaic batches, step order, LR schedule, EMA) is identical."""
+    import jax
+
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    cfg = {
+        "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 2,
+        "width_mult": 0.125, "reg_max": 8, "compute_dtype": "float32",
+        "warmup_epochs": 0, "device_mosaic": False, "ema_decay": 0.9,
+        "learning_rate": 0.005, "checkpoint_dir": "/tmp/iqc_yolo_staged_test",
+    }
+    mesh = MeshConfig(data_parallel=1, model_parallel=1)
+
+    def run(staged: bool):
+        ds = SyntheticDefectDataset(16, 64, 8, seed=0)
+        # host mosaic active: the staged path must carry the host-built
+        # collages, not re-augment
+        loader = DetectionLoader(ds, 8, mosaic_prob=0.5, mixup_prob=0.0,
+                                 seed=7)
+        t = YOLOTrainer({**cfg, "staged_host_epochs": staged},
+                        mesh_config=mesh)
+        t.train(loader, None, epochs=2)
+        return t
+
+    t_staged = run(True)
+    t_stream = run(False)
+    assert int(t_staged.state.step) == 4  # 2 epochs x 2 steps, scan advanced
+    # The sharp check is the per-epoch mean loss: epoch 1 runs identical
+    # data through identical math from identical params, so any data-
+    # semantics bug (re-augmented / skipped / reordered batches) shows up
+    # at O(1); XLA fusion-order noise shows up at ~1e-6 relative.
+    for k in ("train_loss", "train_box_loss", "train_cls_loss"):
+        np.testing.assert_allclose(
+            t_staged.metrics.history[k][0], t_stream.metrics.history[k][0],
+            rtol=1e-5,
+        )
+        # later epochs inherit the amplified update noise (~3e-4 measured)
+        np.testing.assert_allclose(
+            t_staged.metrics.history[k], t_stream.metrics.history[k],
+            rtol=1e-2,
+        )
+    # Param gate is loose: the scan body and the standalone step compile
+    # with different accumulation orders (~1e-7/op f32 noise, amplified to
+    # ~1e-4 on near-zero weights after 4 SGD+momentum steps). A wrong-data
+    # bug shifts params by O(lr)=5e-3 — an order of magnitude above this.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_staged.state.params),
+        jax.tree_util.tree_leaves(t_stream.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t_staged.ema_params),
+        jax.tree_util.tree_leaves(t_stream.ema_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=5e-4)
+
+
+def test_device_resident_validation_matches_streaming():
+    """Scanned device-resident validation == per-batch streaming validation
+    (same predict+NMS math, one dispatch instead of one per batch)."""
+    import os
+
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = SyntheticDefectDataset(16, 64, 8, seed=0)
+    loader = DetectionLoader(ds, 8, mosaic_prob=0.0, mixup_prob=0.0, seed=7)
+    t = YOLOTrainer({
+        "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 1,
+        "width_mult": 0.125, "reg_max": 8, "compute_dtype": "float32",
+        "warmup_epochs": 0, "device_mosaic": False, "ema_decay": 0.9,
+        "checkpoint_dir": "/tmp/iqc_yolo_valres_test",
+    }, mesh_config=MeshConfig(data_parallel=1, model_parallel=1))
+    t.train(loader, None, epochs=1)
+    val_loader = DetectionLoader(ds, 8, mosaic_prob=0, mixup_prob=0,
+                                 shuffle=False)
+    resident = t.validate(val_loader)
+    assert id(val_loader) in t._val_cache  # scanned path actually taken
+    os.environ["IQC_DEVICE_VAL_MB"] = "0"
+    try:
+        t._val_cache.clear()
+        streaming = t.validate(val_loader)
+        assert id(val_loader) not in t._val_cache  # streaming path taken
+    finally:
+        del os.environ["IQC_DEVICE_VAL_MB"]
+    for k in ("mAP50", "mAP50_95", "precision", "recall"):
+        np.testing.assert_allclose(resident[k], streaming[k], rtol=1e-5,
+                                    atol=1e-7)
+
+
+def test_staged_epoch_ineligible_falls_back_to_streaming():
+    """Over-cap epochs stream without re-running host augmentation: the
+    materialized first batch is parked and consumed by the stream loop."""
+    import os
+
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = SyntheticDefectDataset(16, 64, 8, seed=0)
+    loader = DetectionLoader(ds, 8, mosaic_prob=0.0, mixup_prob=0.0, seed=7)
+    t = YOLOTrainer({
+        "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 1,
+        "width_mult": 0.125, "reg_max": 8, "compute_dtype": "float32",
+        "warmup_epochs": 0, "device_mosaic": False, "ema_decay": 0.9,
+        "checkpoint_dir": "/tmp/iqc_yolo_staged_fb_test",
+    }, mesh_config=MeshConfig(data_parallel=1, model_parallel=1))
+    os.environ["IQC_STAGED_EPOCH_MB"] = "0.001"
+    try:
+        report = t.train(loader, None, epochs=1)
+    finally:
+        del os.environ["IQC_STAGED_EPOCH_MB"]
+    assert report["epochs_trained"] == 1
+    assert int(t.state.step) == 2  # both steps ran exactly once
+    assert np.isfinite(report["final"]["train_loss"])
+
+
 def test_loader_without_augmentation_is_deterministic_enumeration():
     """shuffle=False + no mosaic/mixup must enumerate the dataset exactly
     (repeat iteration -> identical batches); validation metrics on fixed
