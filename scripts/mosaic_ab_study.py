@@ -41,7 +41,8 @@ def run_one(seed: int, device_mosaic: bool, epochs: int, n_images: int,
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "train_demo_yolo.py")],
-        env=env, capture_output=True, text=True, timeout=3600, cwd=REPO,
+        env=env, capture_output=True, text=True,
+        timeout=int(os.environ.get("RUN_TIMEOUT", "3600")), cwd=REPO,
     )
     wall = time.time() - t0
     if proc.returncode != 0:

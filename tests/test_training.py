@@ -122,6 +122,46 @@ def test_yolo_loss_finite_and_grads(yolo_problem):
     assert float(jnp.abs(gc).sum()) > 0
 
 
+def test_yolo_loss_lowering_is_gather_free(yolo_problem):
+    """The TAL loss must lower with ZERO gather/scatter/dynamic-slice ops:
+    data-dependent gathers are pathological on the target backend (see
+    crop_and_resize's matmul rewrite), so assign_targets/dfl_loss use
+    one-hot masked sums instead. Regression-pin the property on the
+    forward+backward StableHLO."""
+    from iqc_tpu.train.yolo_loss import yolo_loss
+
+    anchors, strides, a, reg_max, c, m = yolo_problem
+    rng = np.random.default_rng(0)
+    dist = jnp.asarray(rng.normal(0, 1, (2, a, 4 * reg_max)), jnp.float32)
+    cls = jnp.asarray(rng.normal(-4, 1, (2, a, c)), jnp.float32)
+    gt_boxes = jnp.asarray(
+        [[[8, 8, 30, 30], [40, 12, 60, 40], [0, 0, 0, 0], [0, 0, 0, 0]]] * 2,
+        jnp.float32,
+    )
+    gt_classes = jnp.asarray([[1, 2, 0, 0]] * 2, jnp.int32)
+    gt_valid = jnp.asarray([[True, True, False, False]] * 2)
+
+    def loss_fn(d, cl):
+        total, _ = yolo_loss(d, cl, anchors, strides, gt_boxes, gt_classes,
+                             gt_valid, reg_max)
+        return total
+
+    compiled = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1))).lower(
+        dist, cls
+    ).compile().as_text()
+    # Baseline after the one-hot rewrite: 1 gather + 3 scatter-adds survive
+    # optimization, all constant-index slicing artifacts (jnp basic
+    # indexing and its transposes) — benign on TPU. The data-dependent
+    # pattern this pins against (take_along_axis/top-k-indexed selection
+    # per anchor) adds tens of computed-index gathers, so a small bound
+    # catches any reintroduction.
+    n_gather = compiled.count(" gather(")
+    n_scatter = compiled.count(" scatter(")
+    assert n_gather <= 2, f"TAL loss grew gathers: {n_gather}"
+    assert n_scatter <= 4, f"TAL loss grew scatters: {n_scatter}"
+    assert "dynamic-gather" not in compiled
+
+
 def test_yolo_loss_no_gt(yolo_problem):
     from iqc_tpu.train.yolo_loss import yolo_loss
 
