@@ -192,6 +192,48 @@ class EdgeConfig:
 
 
 @dataclass
+class AlertThresholds:
+    """Reference ``config.yaml:82-87`` (alerts.thresholds)."""
+
+    critical_defects: int = 1     # per-image critical count that alerts
+    major_defects: int = 2        # per-image major count that alerts
+    high_defect_rate: float = 3.0  # defects per image over the SPC window
+    low_confidence: float = 0.6   # per-image mean ensemble confidence floor
+
+
+@dataclass
+class AlertsConfig:
+    """Reference ``config.yaml:76-97`` — an alerts block the reference
+    declares but never implements (no notification code exists in its
+    tree). Webhook delivery is implemented for real here
+    (``iqc_tpu/serving/alerts.py``); email/SMS stay declared-only surface
+    like the reference (credentials pass through, nothing ships them)."""
+
+    email_notifications: bool = False
+    sms_notifications: bool = False
+    webhook_notifications: bool = False
+    webhook_url: str = ""                 # reference single-URL key
+    webhook_urls: Tuple[str, ...] = ()    # extension: fan-out to many
+    thresholds: AlertThresholds = field(default_factory=AlertThresholds)
+    cooldown_seconds: float = 60.0        # per-rule dedup window
+    timeout_seconds: float = 3.0
+    retries: int = 2
+    email: Dict[str, Any] = field(default_factory=dict)  # declared-only
+
+    def urls(self) -> Tuple[str, ...]:
+        out = tuple(self.webhook_urls)
+        if self.webhook_url and self.webhook_url not in out:
+            out = (self.webhook_url,) + out
+        return out
+
+    def validate(self) -> None:
+        if self.cooldown_seconds < 0 or self.timeout_seconds <= 0:
+            raise ValueError("alert cooldown/timeout must be positive")
+        if self.retries < 0:
+            raise ValueError("alert retries must be >= 0")
+
+
+@dataclass
 class MeshConfig:
     """TPU-native equivalent of the reference's disabled NCCL distributed block
     (``config/yolo_config.yaml:197-202``): a jax.sharding Mesh over ICI."""
@@ -212,6 +254,7 @@ class SystemConfig:
     api: ServingConfig = field(default_factory=ServingConfig)
     edge: EdgeConfig = field(default_factory=EdgeConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    alerts: AlertsConfig = field(default_factory=AlertsConfig)
     # Uninterpreted passthrough for declared-but-unread reference keys
     # (alerts/email, storage, integrations, security, ...).
     extra: Dict[str, Any] = field(default_factory=dict)
@@ -221,6 +264,7 @@ class SystemConfig:
         self.processing.validate()
         self.quality_control.validate()
         self.edge.validate()
+        self.alerts.validate()
         return self
 
     # ---- dict round-tripping -------------------------------------------------
@@ -235,6 +279,7 @@ class SystemConfig:
         api_raw = dict(raw.pop("api", {}))
         edge_raw = dict(raw.pop("edge", {}))
         mesh_raw = dict(raw.pop("mesh", {}))
+        alerts_raw = dict(raw.pop("alerts", {}))
 
         if "resnet_stages" in model_raw:
             model_raw["resnet_stages"] = tuple(model_raw["resnet_stages"])
@@ -276,6 +321,13 @@ class SystemConfig:
             if keys:
                 api.api_keys = tuple(str(k) for k in keys)
 
+        alert_thr_raw = dict(alerts_raw.pop("thresholds", {}) or {})
+        if "webhook_urls" in alerts_raw:
+            alerts_raw["webhook_urls"] = tuple(alerts_raw["webhook_urls"] or ())
+        alerts = _build(AlertsConfig, alerts_raw)
+        if alert_thr_raw:
+            alerts.thresholds = _build(AlertThresholds, alert_thr_raw)
+
         cfg = cls(
             model=model,
             processing=processing,
@@ -284,6 +336,7 @@ class SystemConfig:
             api=api,
             edge=_build(EdgeConfig, edge_raw),
             mesh=_build(MeshConfig, mesh_raw),
+            alerts=alerts,
             extra=raw,
         )
         return cfg.validate()

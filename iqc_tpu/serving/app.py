@@ -133,6 +133,11 @@ class QualityControlSystem:
         self.processing_queue: queue.Queue = queue.Queue()
         self.results_queue: queue.Queue = queue.Queue()
         self.events = EventBroker()
+        from iqc_tpu.serving.alerts import AlertDispatcher
+
+        # webhook notification delivery (the reference declares the alerts
+        # block, config.yaml:76-97, but ships no notification code)
+        self.alert_dispatcher = AlertDispatcher(self.config.alerts)
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
@@ -175,6 +180,10 @@ class QualityControlSystem:
             result["spc_analysis"] = self.spc_analyzer.analyze(result)
             for alert in result["spc_analysis"].get("alerts", []):
                 self.events.publish("alert", alert)
+                self.alert_dispatcher.submit(alert)
+        for alert in self._threshold_alerts(result):
+            self.events.publish("alert", alert)
+            self.alert_dispatcher.submit(alert)
         if self.anomaly_detector is not None:
             result["anomaly_score"] = self.anomaly_detector.detect(result)
         if metadata:
@@ -198,9 +207,29 @@ class QualityControlSystem:
         for r in results:
             if self.spc_analyzer is not None and "error" not in r:
                 r["spc_analysis"] = self.spc_analyzer.analyze(r)
+                for alert in r["spc_analysis"].get("alerts", []):
+                    self.events.publish("alert", alert)
+                    self.alert_dispatcher.submit(alert)
+            if "error" not in r:
+                for alert in self._threshold_alerts(r):
+                    self.events.publish("alert", alert)
+                    self.alert_dispatcher.submit(alert)
             if self.anomaly_detector is not None and "error" not in r:
                 r["anomaly_score"] = self.anomaly_detector.detect(r)
         return results
+
+    def _threshold_alerts(self, result: Dict) -> List[Dict]:
+        """Reference alerts.thresholds rules (config.yaml:82-87) against one
+        prediction; the rolling defect rate comes from the SPC window."""
+        from iqc_tpu.serving.alerts import threshold_alerts
+
+        rate = None
+        if self.spc_analyzer is not None:
+            counts = self.spc_analyzer.series["defect_count"]
+            if len(counts) >= 5:  # need some window before a rate alert
+                rate = float(counts.values().mean())
+        return threshold_alerts(result, self.config.alerts.thresholds,
+                                defect_rate=rate)
 
     # -- worker (app.py:106-121: blocking + request coalescing instead of the
     # reference's 10ms busy-poll; the id queue is the native C++ MPMC ring

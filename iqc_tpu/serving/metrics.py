@@ -39,6 +39,18 @@ def render_metrics(system) -> str:
     metric("iqc_queue_depth", "gauge", "Processing queue depth",
            system.processing_queue.qsize())
 
+    dispatcher = getattr(system, "alert_dispatcher", None)
+    if dispatcher is not None:
+        for key, help_text in (
+            ("submitted", "Alerts offered to the webhook dispatcher"),
+            ("suppressed", "Alerts dropped by the per-rule cooldown"),
+            ("sent", "Alerts delivered to a webhook sink"),
+            ("failed", "Alerts that exhausted webhook retries"),
+            ("dropped", "Alerts dropped by a full dispatch queue"),
+        ):
+            metric(f"iqc_alerts_{key}_total", "counter", help_text,
+                   dispatcher.stats.get(key, 0))
+
     ens = getattr(system.detector, "ensemble_predictor", None)
     if ens is not None:
         # capacity signal: detections past the max_classified crop slots use

@@ -1,0 +1,193 @@
+"""Webhook alert delivery + threshold rules (iqc_tpu/serving/alerts.py).
+
+The reference declares alerts.thresholds + webhook config
+(/root/reference/config/config.yaml:76-97) but ships no notification code;
+these tests pin the implemented behavior: rule evaluation, cooldown
+suppression, retry accounting, and real HTTP delivery to a local sink.
+"""
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from iqc_tpu.config import AlertsConfig, AlertThresholds, SystemConfig
+from iqc_tpu.serving.alerts import AlertDispatcher, threshold_alerts
+
+
+def _result(critical=0, major=0, minor=0, avg_conf=0.9):
+    total = critical + major + minor
+    return {
+        "quality_assessment": {
+            "severity_breakdown": {"critical": critical, "major": major,
+                                   "minor": minor},
+            "total_defects": total,
+            "average_confidence": avg_conf,
+        }
+    }
+
+
+def test_threshold_rules_fire_and_stay_quiet():
+    thr = AlertThresholds()  # reference defaults: 1 crit, 2 major, 3.0, 0.6
+    assert threshold_alerts(_result(), thr) == []  # clean image
+    rules = {a["rule"] for a in threshold_alerts(_result(critical=1), thr)}
+    assert rules == {"critical_defects"}
+    rules = {a["rule"] for a in threshold_alerts(_result(major=2), thr)}
+    assert rules == {"major_defects"}
+    assert threshold_alerts(_result(major=1), thr) == []  # below threshold
+    rules = {a["rule"]
+             for a in threshold_alerts(_result(minor=1, avg_conf=0.4), thr)}
+    assert rules == {"low_confidence"}
+    # low_confidence needs defects: a clean image's confidence is vacuous
+    assert threshold_alerts(_result(avg_conf=0.0), thr) == []
+    rules = {a["rule"]
+             for a in threshold_alerts(_result(), thr, defect_rate=3.5)}
+    assert rules == {"high_defect_rate"}
+    # everything at once
+    alerts = threshold_alerts(_result(critical=2, major=3, avg_conf=0.3),
+                              thr, defect_rate=9.0)
+    assert {a["rule"] for a in alerts} == {
+        "critical_defects", "major_defects", "low_confidence",
+        "high_defect_rate",
+    }
+
+
+def test_dispatcher_cooldown_and_counters():
+    sent = []
+    cfg = AlertsConfig(webhook_notifications=True,
+                       webhook_url="http://sink.test/hook",
+                       cooldown_seconds=60.0, retries=0)
+    now = [0.0]
+    d = AlertDispatcher(cfg, sender=lambda u, b, h, t: sent.append(u) or 200,
+                        clock=lambda: now[0])
+    a = {"type": "threshold", "rule": "critical_defects", "message": "x"}
+    assert d.submit(a)
+    assert not d.submit(a)          # inside cooldown: suppressed
+    now[0] = 61.0
+    assert d.submit(a)              # cooldown expired
+    b = {"type": "threshold", "rule": "major_defects", "message": "y"}
+    assert d.submit(b)              # different rule: independent cooldown
+    assert d.flush()
+    assert d.stats["submitted"] == 4
+    assert d.stats["suppressed"] == 1
+    assert d.stats["sent"] == 3
+    assert d.stats["failed"] == 0
+    d.close()
+
+
+def test_dispatcher_disabled_without_urls():
+    d = AlertDispatcher(AlertsConfig(webhook_notifications=True))
+    assert not d.enabled
+    assert not d.submit({"type": "x", "rule": "y"})
+    d2 = AlertDispatcher(AlertsConfig(webhook_url="http://x.test/"))
+    assert not d2.enabled  # webhook_notifications off
+
+
+def test_dispatcher_retries_then_counts_failure():
+    calls = []
+
+    def flaky(url, body, headers, timeout):
+        calls.append(url)
+        raise OSError("connection refused")
+
+    cfg = AlertsConfig(webhook_notifications=True,
+                       webhook_url="http://down.test/hook",
+                       retries=2, cooldown_seconds=0.0)
+    d = AlertDispatcher(cfg, sender=flaky)
+    assert d.submit({"type": "spc", "rule": "r1"})
+    assert d.flush()
+    assert len(calls) == 3          # initial + 2 retries
+    assert d.stats["failed"] == 1 and d.stats["sent"] == 0
+    d.close()
+
+
+def test_real_http_delivery_to_local_sink():
+    received = []
+
+    class Sink(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Sink)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/alerts"
+        cfg = AlertsConfig(webhook_notifications=True, webhook_url=url,
+                           cooldown_seconds=0.0)
+        d = AlertDispatcher(cfg)
+        d.submit({"type": "threshold", "rule": "critical_defects",
+                  "message": "2 critical defect(s)", "value": 2})
+        assert d.flush()
+        deadline = time.monotonic() + 3
+        while not received and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert received and received[0]["source"] == "iqc_tpu"
+        assert received[0]["alert"]["rule"] == "critical_defects"
+        d.close()
+    finally:
+        srv.shutdown()
+
+
+def test_alerts_config_round_trip():
+    raw = {
+        "alerts": {
+            "webhook_notifications": True,
+            "webhook_url": "http://a.test/h",
+            "webhook_urls": ["http://b.test/h"],
+            "cooldown_seconds": 5,
+            "thresholds": {"critical_defects": 3, "low_confidence": 0.5},
+            "email": {"smtp_server": "smtp.example.com"},
+        }
+    }
+    cfg = SystemConfig.from_dict(raw)
+    assert cfg.alerts.webhook_notifications
+    assert cfg.alerts.urls() == ("http://a.test/h", "http://b.test/h")
+    assert cfg.alerts.thresholds.critical_defects == 3
+    assert cfg.alerts.thresholds.major_defects == 2  # default preserved
+    assert cfg.alerts.email["smtp_server"] == "smtp.example.com"
+    d = cfg.to_dict()
+    assert d["alerts"]["thresholds"]["low_confidence"] == 0.5
+    # invalid values rejected
+    with pytest.raises(ValueError):
+        SystemConfig.from_dict({"alerts": {"timeout_seconds": 0}})
+
+
+def test_system_emits_threshold_alerts_through_dispatcher(tiny_config):
+    """End-to-end: process_image -> threshold rule -> dispatcher sink."""
+    from iqc_tpu.serving.app import QualityControlSystem
+
+    posts = []
+    cfg = tiny_config.update({"alerts": {
+        "webhook_notifications": True,
+        "webhook_url": "http://sink.test/hook",
+        "cooldown_seconds": 0.0,
+    }})
+    system = QualityControlSystem(config=cfg)
+    system.alert_dispatcher._sender = lambda u, b, h, t: posts.append(
+        json.loads(b)) or 200
+    assert system.initialize_models()
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, cfg.processing.input_size + (3,), np.uint8)
+    # synthesize a hot image: a dark elliptical blob reads as a defect
+    h, w = cfg.processing.input_size
+    img[h // 4: 3 * h // 4, w // 4: 3 * w // 4] //= 4
+    result = system.process_image(img)
+    assert "error" not in result
+    system.alert_dispatcher.flush()
+    # whether a defect fires depends on the untrained tiny model; the
+    # contract is structural: every delivered post is a well-formed alert
+    for p in posts:
+        assert p["source"] == "iqc_tpu" and "rule" in p["alert"]
+    # and the dispatcher accounting is consistent
+    s = system.alert_dispatcher.stats
+    assert s["sent"] == len(posts) and s["failed"] == 0
