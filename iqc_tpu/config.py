@@ -192,6 +192,37 @@ class EdgeConfig:
 
 
 @dataclass
+class StorageConfig:
+    """Reference ``config.yaml:100-122`` (storage block) — declared there
+    (SQLAlchemy + redis sit in its requirements.txt), zero storage code in
+    its tree. Implemented here over stdlib sqlite3 (``iqc_tpu/storage.py``);
+    mysql/postgresql declared in the reference's enum stay unimplemented
+    and are rejected at validation when enabled."""
+
+    enabled: bool = False
+    database_type: str = "sqlite"
+    database_path: str = "data/qc_database.sqlite"
+    save_detailed_results: bool = True
+    save_processed_images: bool = False
+    save_failed_images: bool = True
+    image_storage_path: str = "data/images"
+    retention_days: int = 30
+    max_storage_gb: float = 100.0
+
+    def validate(self) -> None:
+        if self.enabled and self.database_type != "sqlite":
+            raise ValueError(
+                f"database type {self.database_type!r} not implemented "
+                "(sqlite only; the reference declares mysql/postgresql but "
+                "ships no storage code either)"
+            )
+        if self.retention_days < 1:
+            raise ValueError("retention_days must be >= 1")
+        if self.max_storage_gb <= 0:
+            raise ValueError("max_storage_gb must be positive")
+
+
+@dataclass
 class AlertThresholds:
     """Reference ``config.yaml:82-87`` (alerts.thresholds)."""
 
@@ -255,6 +286,7 @@ class SystemConfig:
     edge: EdgeConfig = field(default_factory=EdgeConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     alerts: AlertsConfig = field(default_factory=AlertsConfig)
+    storage: StorageConfig = field(default_factory=StorageConfig)
     # Uninterpreted passthrough for declared-but-unread reference keys
     # (alerts/email, storage, integrations, security, ...).
     extra: Dict[str, Any] = field(default_factory=dict)
@@ -265,6 +297,7 @@ class SystemConfig:
         self.quality_control.validate()
         self.edge.validate()
         self.alerts.validate()
+        self.storage.validate()
         return self
 
     # ---- dict round-tripping -------------------------------------------------
@@ -280,6 +313,7 @@ class SystemConfig:
         edge_raw = dict(raw.pop("edge", {}))
         mesh_raw = dict(raw.pop("mesh", {}))
         alerts_raw = dict(raw.pop("alerts", {}))
+        storage_raw = dict(raw.pop("storage", {}))
 
         if "resnet_stages" in model_raw:
             model_raw["resnet_stages"] = tuple(model_raw["resnet_stages"])
@@ -321,6 +355,26 @@ class SystemConfig:
             if keys:
                 api.api_keys = tuple(str(k) for k in keys)
 
+        # Reference nests storage as database/image_storage/results_storage
+        # (config.yaml:100-122); accept both that shape and the flat one.
+        db_raw = dict(storage_raw.pop("database", {}) or {})
+        img_raw = dict(storage_raw.pop("image_storage", {}) or {})
+        res_raw = dict(storage_raw.pop("results_storage", {}) or {})
+        if "type" in db_raw:
+            storage_raw.setdefault("database_type", db_raw["type"])
+        if "name" in db_raw:
+            storage_raw.setdefault("database_path", db_raw["name"])
+        for src, dst in (("save_processed_images", "save_processed_images"),
+                         ("save_failed_images", "save_failed_images"),
+                         ("storage_path", "image_storage_path"),
+                         ("retention_days", "retention_days"),
+                         ("max_storage_gb", "max_storage_gb")):
+            if src in img_raw:
+                storage_raw.setdefault(dst, img_raw[src])
+        if "save_detailed_results" in res_raw:
+            storage_raw.setdefault("save_detailed_results",
+                                   res_raw["save_detailed_results"])
+
         alert_thr_raw = dict(alerts_raw.pop("thresholds", {}) or {})
         if "webhook_urls" in alerts_raw:
             alerts_raw["webhook_urls"] = tuple(alerts_raw["webhook_urls"] or ())
@@ -337,6 +391,7 @@ class SystemConfig:
             edge=_build(EdgeConfig, edge_raw),
             mesh=_build(MeshConfig, mesh_raw),
             alerts=alerts,
+            storage=_build(StorageConfig, storage_raw),
             extra=raw,
         )
         return cfg.validate()

@@ -138,6 +138,13 @@ class QualityControlSystem:
         # webhook notification delivery (the reference declares the alerts
         # block, config.yaml:76-97, but ships no notification code)
         self.alert_dispatcher = AlertDispatcher(self.config.alerts)
+        # result/image persistence (reference storage block, config.yaml:
+        # 100-122 — declared there, implemented in iqc_tpu/storage.py)
+        self.result_store = None
+        if self.config.storage.enabled:
+            from iqc_tpu.storage import ResultStore
+
+            self.result_store = ResultStore(self.config.storage)
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
@@ -188,6 +195,7 @@ class QualityControlSystem:
             result["anomaly_score"] = self.anomaly_detector.detect(result)
         if metadata:
             result["metadata_in"] = metadata
+        self._persist(result, image)
         self.events.publish(
             "detection_result",
             {
@@ -216,7 +224,22 @@ class QualityControlSystem:
                     self.alert_dispatcher.submit(alert)
             if self.anomaly_detector is not None and "error" not in r:
                 r["anomaly_score"] = self.anomaly_detector.detect(r)
+            if "error" not in r:
+                self._persist(r, None)
         return results
+
+    def _persist(self, result: Dict, image) -> None:
+        """Best-effort storage write (never fails the inference path)."""
+        if self.result_store is None:
+            return
+        try:
+            self.result_store.save_result(result)
+            if image is not None:
+                failed = (result.get("quality_assessment", {})
+                          .get("pass_fail_status") == "FAIL")
+                self.result_store.save_image(image, failed)
+        except Exception:
+            logger.exception("result persistence failed")
 
     def _threshold_alerts(self, result: Dict) -> List[Dict]:
         """Reference alerts.thresholds rules (config.yaml:82-87) against one
@@ -479,6 +502,37 @@ def create_app(qc_system: Optional[QualityControlSystem] = None,
                 "timestamp": _now(),
             }
         )
+
+    @app.route("/api/results")
+    def results_history(req: Request):
+        """Prediction history from the storage layer (reference storage
+        block, config.yaml:100-122 — declared, never implemented there)."""
+        if system.result_store is None:
+            return jsonify({"error": "storage disabled",
+                            "hint": "set storage.enabled: true"}, status=503)
+        try:
+            since = req.query.get("since")
+            limit = int(req.query.get("limit", "100"))
+            pf = req.query.get("pass_fail")
+            if pf is not None and pf not in ("PASS", "FAIL", "CONDITIONAL"):
+                return jsonify({"error": "pass_fail must be PASS/FAIL/"
+                                "CONDITIONAL"}, status=400)
+            rows = system.result_store.query(
+                since=float(since) if since else None, limit=limit,
+                pass_fail=pf,
+            )
+        except ValueError:
+            return jsonify({"error": "invalid query parameter"}, status=400)
+        return jsonify({"results": rows, "count": len(rows),
+                        "timestamp": _now()})
+
+    @app.route("/api/results/summary")
+    def results_summary(req: Request):
+        if system.result_store is None:
+            return jsonify({"error": "storage disabled",
+                            "hint": "set storage.enabled: true"}, status=503)
+        return jsonify({**system.result_store.summary(),
+                        "timestamp": _now()})
 
     # -- blueprint routes (api/routes.py) -----------------------------------------
 
