@@ -98,6 +98,51 @@ def _device_normalize(images):
     return (x - mean) / std
 
 
+class MaskedUpdatesState(NamedTuple):
+    """Per-leaf 0/1 trainable mask (scalars; broadcast against updates)."""
+
+    mask: Any
+
+
+def masked_updates() -> optax.GradientTransformation:
+    """Scale the FINAL optimizer updates by a per-leaf mask held in state.
+
+    Chained after the base optimizer this gives exact parameter freezing —
+    weight decay included, which grad-masking alone would leak (torch
+    ``requires_grad=False`` parity, reference ``resent_model.py:305-312``).
+    The mask lives in the optimizer state, so :func:`set_update_mask` can
+    swap it at an epoch boundary (gradual unfreezing,
+    ``resnet_config.yaml:165-177``) WITHOUT changing the jitted step's
+    structure — no recompile."""
+
+    def init_fn(params):
+        return MaskedUpdatesState(
+            jax.tree_util.tree_map(
+                lambda _: jnp.ones((), jnp.float32), params
+            )
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(lambda u, m: u * m, updates, state.mask),
+            state,
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def set_update_mask(opt_state, mask_tree):
+    """Replace every MaskedUpdatesState in a (possibly chained) optimizer
+    state with ``mask_tree``. Pure host-side tree surgery — leaf shapes are
+    unchanged so compiled steps keep their cache entries."""
+    if isinstance(opt_state, MaskedUpdatesState):
+        return MaskedUpdatesState(mask_tree)
+    if isinstance(opt_state, tuple) and not hasattr(opt_state, "_fields"):
+        return tuple(set_update_mask(s, mask_tree) for s in opt_state)
+    return opt_state
+
+
 def make_classifier_train_step(
     module,
     optimizer: optax.GradientTransformation,

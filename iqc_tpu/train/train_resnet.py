@@ -57,6 +57,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "gamma": 0.1,
     "plateau_patience": 10,       # ReduceLROnPlateau(patience, factor=gamma)
     "label_smoothing": 0.1,
+    # transfer learning (reference resent_model.py:305-312 freezes all but
+    # layer4 + head; resnet_config.yaml:165-177 declares gradual
+    # unfreezing). layerN maps to stageN; the head is always trainable.
+    "freeze_backbone": False,
+    "unfreeze_schedule": [],  # [{"epoch": 10, "layers": ["layer4"]}, ...]
     "use_class_weights": True,
     "balanced_sampling": True,
     "val_frequency": 1,
@@ -197,6 +202,13 @@ class ResNetTrainer:
             )
         else:
             opt = self._make_optimizer(self._build_schedule(steps_per_epoch))
+        self._uses_freeze = bool(c["freeze_backbone"] or c["unfreeze_schedule"])
+        if self._uses_freeze:
+            from iqc_tpu.train.steps import masked_updates
+
+            # exact freezing: the mask scales the final updates (weight
+            # decay included) and is swapped per epoch without recompiling
+            opt = optax.chain(opt, masked_updates())
         self._optimizer = opt
 
         size = c["image_size"]
@@ -292,9 +304,52 @@ class ResNetTrainer:
         host->device transfer 4x (38 MB -> 9.6 MB per 64x224px batch)."""
         return {"images": batch["images"], "labels": batch["labels"]}
 
+    def _trainable_prefixes(self, epoch: int) -> tuple:
+        """Param-key prefixes trainable at ``epoch``. The head always
+        trains; ``freeze_backbone`` adds stage4 (reference
+        resent_model.py:305-312); the latest ``unfreeze_schedule`` entry
+        with epoch <= current adds its layers (layerN -> stageN,
+        resnet_config.yaml:173-177)."""
+        c = self.config
+        trainable = {"head"}
+        if c["freeze_backbone"]:
+            trainable.add("stage4")
+        active = None
+        for entry in sorted(c["unfreeze_schedule"], key=lambda e: e["epoch"]):
+            if epoch >= int(entry["epoch"]):
+                active = entry
+        if active:
+            for layer in active.get("layers", ()):
+                trainable.add(str(layer).replace("layer", "stage"))
+        return tuple(sorted(trainable))
+
+    def _apply_freeze(self, epoch: int) -> None:
+        """Swap the update mask at an epoch boundary (no recompile)."""
+        if not getattr(self, "_uses_freeze", False):
+            return
+        prefixes = self._trainable_prefixes(epoch)
+        if prefixes == getattr(self, "_active_prefixes", None):
+            return
+        self._active_prefixes = prefixes
+        from iqc_tpu.train.steps import set_update_mask
+
+        mask = {}
+        for key, sub in self.state.params.items():
+            on = any(key.startswith(p) for p in prefixes)
+            mask[key] = jax.tree_util.tree_map(
+                lambda _, v=float(on): jnp.asarray(v, jnp.float32), sub
+            )
+        mask = replicate(self.mesh, mask)
+        self.state = self.state._replace(
+            opt_state=set_update_mask(self.state.opt_state, mask)
+        )
+        logger.info("epoch %d: trainable param groups = %s", epoch,
+                    ", ".join(prefixes))
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         losses, accs = [], []
         t0 = time.time()
+        self._apply_freeze(epoch)
         corpus = self._maybe_device_corpus()
         if corpus is not None:
             from iqc_tpu.data.pipeline import balanced_sample_indices

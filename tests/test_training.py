@@ -300,6 +300,68 @@ def test_ema_ramp_tracks_params_early():
     assert w < 0.2  # ~0.08 after 100 steps; constant decay would give 0.99
 
 
+def test_freeze_backbone_and_gradual_unfreeze():
+    """Transfer-learning parity: freeze_backbone trains only stage4+head
+    (reference resent_model.py:305-312, torch requires_grad=False); the
+    unfreeze_schedule widens the trainable set at its epoch
+    (resnet_config.yaml:165-177) — frozen params must be EXACTLY unchanged
+    (weight decay included), and the mask swap must not rebuild the step."""
+    import jax
+
+    from iqc_tpu.train.train_resnet import ResNetTrainer
+
+    rng = np.random.default_rng(0)
+    images = np.concatenate([
+        rng.integers(0, 60, (8, 32, 32, 3)),
+        rng.integers(190, 255, (8, 32, 32, 3)),
+    ]).astype(np.uint8)
+    labels = np.asarray([0] * 8 + [1] * 8, np.int32)
+    ds = ArrayDataset(images, labels, ["dark", "bright"])
+
+    trainer = ResNetTrainer({
+        "num_classes": 2, "image_size": 32, "batch_size": 8, "epochs": 2,
+        "stage_sizes": [1, 1, 1, 1], "compute_dtype": "float32",
+        "learning_rate": 1e-2, "weight_decay": 1e-2, "optimizer": "adamw",
+        "balanced_sampling": False, "use_class_weights": False,
+        "scheduler": "none", "early_stopping_patience": 100,
+        "freeze_backbone": True,
+        "unfreeze_schedule": [{"epoch": 1, "layers": ["layer3", "layer4"]}],
+        "checkpoint_dir": "/tmp/iqc_test_freeze_ckpt",
+    })
+    trainer.setup_data(ds, ds)
+    trainer.build(steps_per_epoch=len(trainer.train_loader))
+    p0 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+
+    assert trainer._trainable_prefixes(0) == ("head", "stage4")
+    assert trainer._trainable_prefixes(1) == ("head", "stage3", "stage4")
+
+    trainer.train_epoch(0)
+    p1 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    for key in ("stem_conv", "stage1_block1", "stage2_block1", "stage3_block1"):
+        for a, b in zip(jax.tree_util.tree_leaves(p0[key]),
+                        jax.tree_util.tree_leaves(p1[key])):
+            np.testing.assert_array_equal(a, b)  # bit-frozen, wd included
+    moved = [
+        float(np.abs(a - b).max())
+        for key in ("stage4_block1", "head_dense1")
+        for a, b in zip(jax.tree_util.tree_leaves(p0[key]),
+                        jax.tree_util.tree_leaves(p1[key]))
+    ]
+    assert max(moved) > 0  # trainable groups actually train
+
+    trainer.train_epoch(1)  # schedule unfreezes stage3
+    p2 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(p1["stage1_block1"]),
+                    jax.tree_util.tree_leaves(p2["stage1_block1"])):
+        np.testing.assert_array_equal(a, b)  # still frozen
+    s3 = [
+        float(np.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(p1["stage3_block1"]),
+                        jax.tree_util.tree_leaves(p2["stage3_block1"]))
+    ]
+    assert max(s3) > 0  # newly unfrozen group trains
+
+
 # --- resnet trainer end-to-end (tiny) ---------------------------------------
 
 
