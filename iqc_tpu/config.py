@@ -171,6 +171,11 @@ class ServingConfig:
     # SPC report exports are confined to this directory (the reference's
     # /api/spc/export writes any client-supplied path — routes.py:417-443).
     reports_dir: str = "reports"
+    # TLS (reference security.ssl block, config.yaml:266-271 — declared
+    # there, never read; implemented in serving/wsgi.serve)
+    ssl_enabled: bool = False
+    ssl_cert: str = ""
+    ssl_key: str = ""
 
 
 @dataclass
@@ -354,6 +359,13 @@ class SystemConfig:
             keys = auth.get("api_keys")
             if keys:
                 api.api_keys = tuple(str(k) for k in keys)
+        # Reference nests TLS at top-level security.ssl (config.yaml:266-271);
+        # security stays in extra for config-passthrough parity.
+        ssl_raw = dict((raw.get("security") or {}).get("ssl") or {})
+        if ssl_raw:
+            api.ssl_enabled = bool(ssl_raw.get("enabled", api.ssl_enabled))
+            api.ssl_cert = str(ssl_raw.get("cert_file", api.ssl_cert))
+            api.ssl_key = str(ssl_raw.get("key_file", api.ssl_key))
 
         # Reference nests storage as database/image_storage/results_storage
         # (config.yaml:100-122); accept both that shape and the flat one.

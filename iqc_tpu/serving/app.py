@@ -1051,9 +1051,12 @@ def main() -> None:  # pragma: no cover
     from iqc_tpu.serving.wsgi import serve
 
     start_metrics_server(system, port=args.metrics_port or system.config.api.metrics_port)
-    serve(app, host=args.host or system.config.api.host,
-          port=args.port or system.config.api.port,
-          reuse_port=args.reuse_port)
+    api_cfg = system.config.api
+    serve(app, host=args.host or api_cfg.host,
+          port=args.port or api_cfg.port,
+          reuse_port=args.reuse_port,
+          ssl_cert=api_cfg.ssl_cert if api_cfg.ssl_enabled else None,
+          ssl_key=api_cfg.ssl_key if api_cfg.ssl_enabled else None)
 
 
 if __name__ == "__main__":  # pragma: no cover

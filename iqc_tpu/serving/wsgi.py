@@ -517,7 +517,8 @@ class _QuietHandler(WSGIRequestHandler):
 
 
 def serve(app: App, host: str = "0.0.0.0", port: int = 5000, background: bool = False,
-          reuse_port: bool = False):
+          reuse_port: bool = False, ssl_cert: Optional[str] = None,
+          ssl_key: Optional[str] = None):
     """Threaded WSGI server; with reuse_port=True several processes can bind
     the same port and the kernel load-balances (see serving/app.py --workers
     for the preforked supervisor).
@@ -533,6 +534,15 @@ def serve(app: App, host: str = "0.0.0.0", port: int = 5000, background: bool = 
         host, port, app,
         server_class=_ReusePortWSGIServer if reuse_port else _ThreadingWSGIServer,
         handler_class=_QuietHandler)
+    if ssl_cert and ssl_key:
+        # TLS termination (reference security.ssl block, config.yaml:266-271
+        # — declared there, never read; typically a proxy's job, but
+        # single-box industrial deployments want it on the server itself)
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(ssl_cert, ssl_key)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()

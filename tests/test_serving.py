@@ -66,6 +66,47 @@ def jpeg_bytes(size=(96, 96), seed=0):
     return buf.getvalue()
 
 
+def test_https_serving_with_self_signed_cert(tmp_path, tiny_config):
+    """TLS termination in serve() (reference security.ssl block,
+    config.yaml:266-271 — declared there, never read): a self-signed cert
+    serves /health over HTTPS; plain HTTP on the same socket fails."""
+    import ssl
+    import subprocess
+    import urllib.request
+
+    cert, key = str(tmp_path / "s.crt"), str(tmp_path / "s.key")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", cert, "-days", "1", "-subj", "/CN=localhost"],
+        check=True, capture_output=True,
+    )
+    cfg = tiny_config.update({"security": {"ssl": {
+        "enabled": True, "cert_file": cert, "key_file": key}}})
+    assert cfg.api.ssl_enabled and cfg.api.ssl_cert == cert
+
+    from iqc_tpu.serving.app import QualityControlSystem, create_app
+    from iqc_tpu.serving.wsgi import serve
+
+    s = QualityControlSystem(config=cfg)  # demo mode: no models needed
+    app = create_app(s, initialize=False)
+    server = serve(app, host="127.0.0.1", port=0, background=True,
+                   ssl_cert=cert, ssl_key=key)
+    try:
+        port = server.server_address[1]
+        ctx = ssl.create_default_context()
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+        with urllib.request.urlopen(f"https://127.0.0.1:{port}/health",
+                                    context=ctx, timeout=5) as resp:
+            body = json.loads(resp.read())
+        assert resp.status == 200 and "status" in body
+        with pytest.raises(Exception):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/health",
+                                   timeout=3)
+    finally:
+        server.shutdown()
+
+
 @pytest.fixture(scope="module")
 def system(tiny_config):
     s = QualityControlSystem(config=tiny_config)
