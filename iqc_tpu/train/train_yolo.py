@@ -673,6 +673,10 @@ def main() -> None:  # pragma: no cover
     parser.add_argument("--synthetic", action="store_true",
                         help="train on the procedural defect corpus")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--evolve", action="store_true",
+                        help="run hyperparameter evolution (reference "
+                             "yolo_config.yaml:121-127 evolution block) "
+                             "instead of a single training")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -683,6 +687,28 @@ def main() -> None:  # pragma: no cover
         config = raw.get("training", raw)
     if args.epochs:
         config["epochs"] = args.epochs
+
+    evo_cfg = dict(config.pop("evolution", {}) or {})
+    if args.evolve or evo_cfg.get("enabled"):
+        from iqc_tpu.train.evolve import evolve_hyperparameters
+
+        result = evolve_hyperparameters(
+            config,
+            generations=int(evo_cfg.get("generations", 10)),
+            population_size=int(evo_cfg.get("population_size", 5)),
+            mutation_probability=float(
+                evo_cfg.get("mutation_probability", 0.8)),
+            sigma=float(evo_cfg.get("sigma", 0.2)),
+            seed=int(config.get("seed", 42)),
+            out_dir=config.get("checkpoint_dir",
+                               DEFAULT_CONFIG["checkpoint_dir"]),
+        )
+        print(json.dumps({"best_fitness": result["best_fitness"],
+                          "best_config": {
+                              k: result["best_config"][k]
+                              for k in result["history"][0]["genes"]}},
+                         indent=2))
+        return
 
     trainer = YOLOTrainer(config)
     c = trainer.config
