@@ -190,10 +190,16 @@ class EdgeConfig:
     yolo_int8: bool = True
     max_batch_size: int = 8
     compilation_cache_dir: str = ".xla_cache"
+    # magnitude pruning at export (reference optimization.pruning block,
+    # yolo_config.yaml:146-151; models/optimizer.prune_magnitude). 0 = off.
+    sparsity: float = 0.0
+    structured_pruning: bool = False
 
     def validate(self) -> None:
         if self.precision not in ("fp32", "bf16", "int8"):
             raise ValueError(f"unknown precision {self.precision!r}")
+        if not 0.0 <= self.sparsity < 1.0:
+            raise ValueError(f"sparsity out of range: {self.sparsity}")
 
 
 @dataclass

@@ -110,20 +110,88 @@ def dequantize_int8(values, scales):
     return jax.tree_util.tree_map(dq, values, scales)
 
 
+def prune_magnitude(params, sparsity: float, structured: bool = False,
+                    min_size: int = 256) -> Tuple[Any, Dict[str, Any]]:
+    """Magnitude pruning (reference ``optimization.pruning`` block,
+    ``yolo_config.yaml:146-151`` — declared there with
+    ``{sparsity, structured}``, never implemented; the torch path would be
+    ``torch.nn.utils.prune``).
+
+    - unstructured: zero the smallest-|w| ``sparsity`` fraction per tensor
+    - structured: zero whole OUTPUT channels (last axis — HWIO convs /
+      IO dense) ranked by L2 norm; the granularity dense hardware can
+      actually exploit, and the one that survives int8 export losslessly
+
+    Only float leaves with ndim >= 2 and size >= ``min_size`` are pruned
+    (biases/BN/scale vectors stay intact). Returns
+    ``(pruned_params, report)`` with the achieved zero fraction.
+    """
+    if not 0.0 <= sparsity < 1.0:
+        raise ValueError(f"sparsity must be in [0, 1): {sparsity}")
+
+    zeroed = total = 0
+
+    def p(x):
+        nonlocal zeroed, total
+        x = jnp.asarray(x)
+        if (not jnp.issubdtype(x.dtype, jnp.floating) or x.ndim < 2
+                or x.size < min_size):
+            return x
+        total += int(x.size)
+        if sparsity == 0.0:
+            return x
+        if structured:
+            flat = x.reshape(-1, x.shape[-1])
+            norms = jnp.linalg.norm(flat, axis=0)
+            k = int(np.floor(sparsity * x.shape[-1]))
+            if k == 0:
+                return x
+            cut = jnp.sort(norms)[k - 1]
+            mask = (norms > cut).astype(x.dtype)
+            zeroed += int(x.size // x.shape[-1]) * k
+            return x * mask
+        mags = jnp.abs(x).reshape(-1)
+        k = int(np.floor(sparsity * x.size))
+        if k == 0:
+            return x
+        cut = jnp.sort(mags)[k - 1]
+        mask = (jnp.abs(x) > cut).astype(x.dtype)
+        zeroed += k
+        return x * mask
+
+    out = jax.tree_util.tree_map(p, params)
+    report = {
+        "requested_sparsity": sparsity,
+        "structured": structured,
+        "pruned_weight_fraction": zeroed / max(total, 1),
+        "prunable_params": total,
+    }
+    return out, report
+
+
 class XLAOptimizer:
     """Engine-builder facade, parity with the phantom ``TensorRTOptimizer``."""
 
-    def __init__(self, precision: str = "bf16", max_batch_size: int = 8):
+    def __init__(self, precision: str = "bf16", max_batch_size: int = 8,
+                 sparsity: float = 0.0, structured_pruning: bool = False):
         if precision not in PRECISIONS:
             raise ValueError(f"precision must be one of {PRECISIONS}")
         self.precision = precision
         self.max_batch_size = max_batch_size
+        self.sparsity = sparsity
+        self.structured_pruning = structured_pruning
         self.report: Dict[str, Any] = {}
 
     def optimize_variables(self, variables):
-        """Lower model variables to the configured precision. Returns
+        """Lower model variables to the configured precision (magnitude
+        pruning first when ``sparsity`` > 0). Returns
         (optimized_variables, report)."""
         original_bytes = _tree_size_bytes(variables)
+        prune_report = {}
+        if self.sparsity > 0.0:
+            variables, prune_report = prune_magnitude(
+                variables, self.sparsity, self.structured_pruning
+            )
         if self.precision == "fp32":
             out = variables
         elif self.precision == "bf16":
@@ -142,6 +210,7 @@ class XLAOptimizer:
             "original_size_mb": original_bytes / 2**20,
             "optimized_size_mb": new_bytes / 2**20,
             "size_reduction_percent": 100.0 * (1 - new_bytes / max(original_bytes, 1)),
+            **prune_report,
         }
         return out, self.report
 

@@ -22,6 +22,56 @@ def small_params():
     }
 
 
+def test_prune_magnitude_unstructured_exact_sparsity():
+    """Unstructured pruning zeroes exactly floor(sparsity*n) of the
+    smallest-|w| weights per prunable tensor; biases/ints untouched
+    (reference optimization.pruning block, yolo_config.yaml:146-151)."""
+    from iqc_tpu.models.optimizer import prune_magnitude
+
+    params = small_params()
+    pruned, report = prune_magnitude(params, sparsity=0.3, min_size=64)
+    k = pruned["dense"]["kernel"]
+    n_zero = int((np.asarray(k) == 0.0).sum())
+    assert n_zero == int(np.floor(0.3 * 64 * 64))
+    # survivors are exactly the largest-magnitude entries
+    orig = np.abs(np.asarray(params["dense"]["kernel"])).ravel()
+    cut = np.sort(orig)[n_zero - 1]
+    assert np.abs(np.asarray(k)).ravel()[orig > cut].min() > 0
+    np.testing.assert_array_equal(pruned["dense"]["bias"],
+                                  params["dense"]["bias"])
+    assert pruned["step"] == params["step"]
+    assert abs(report["pruned_weight_fraction"] - 0.3) < 0.01
+
+
+def test_prune_magnitude_structured_zeroes_whole_channels():
+    from iqc_tpu.models.optimizer import prune_magnitude
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(0, 1, (3, 3, 8, 16)), jnp.float32)  # HWIO
+    pruned, report = prune_magnitude({"conv": w}, sparsity=0.25,
+                                     structured=True, min_size=64)
+    out = np.asarray(pruned["conv"]).reshape(-1, 16)
+    zero_cols = (out == 0).all(axis=0)
+    assert zero_cols.sum() == 4  # floor(0.25 * 16) whole output channels
+    # the removed channels are the lowest-L2 ones
+    norms = np.linalg.norm(np.asarray(w).reshape(-1, 16), axis=0)
+    assert set(np.where(zero_cols)[0]) == set(np.argsort(norms)[:4])
+
+
+def test_optimizer_pruning_pipeline_with_int8():
+    """Pruning composes with int8: zeros quantize to 0 (sparsity survives
+    export) and the report carries both stages."""
+    params = small_params()
+    opt = XLAOptimizer(precision="int8", sparsity=0.5)
+    out, report = opt.optimize_variables(params)
+    assert report["pruned_weight_fraction"] >= 0.49
+    assert report["size_reduction_percent"] > 70
+    vals = np.asarray(opt._int8[0]["dense"]["kernel"])
+    assert (vals == 0).mean() >= 0.5  # zeros survive quantization
+    with pytest.raises(ValueError):
+        XLAOptimizer(sparsity=1.5).optimize_variables(params)
+
+
 def test_bf16_cast():
     p = to_bf16(small_params())
     assert p["dense"]["kernel"].dtype == jnp.bfloat16
