@@ -30,6 +30,16 @@ from iqc_tpu.ops.nms import decode_and_nms, make_anchors
 
 STRIDES = (8, 16, 32)
 
+# Module definition order (both stem variants listed; one exists per
+# model). Index semantics match Ultralytics' `freeze: N` (the first 10 =
+# the backbone) — consumed by YOLOTrainer's freeze_layers.
+MODULE_ORDER = (
+    "stem", "stem_s2d", "down2", "c2f_2", "down3", "c2f_3", "down4",
+    "c2f_4", "down5", "c2f_5", "sppf",
+    "neck_td4", "neck_td3", "neck_down4", "neck_bu4", "neck_down5",
+    "neck_bu5", "head_p3", "head_p4", "head_p5",
+)
+
 
 def _make_divisible(x: float, divisor: int = 8) -> int:
     return max(divisor, int(round(x / divisor) * divisor))

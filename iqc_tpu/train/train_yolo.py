@@ -67,6 +67,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     # split (0.7335 -> 0.7591), mAP50 unchanged — measured on the shipped
     # checkpoint, RESULTS.md. Default ON everywhere (ensemble/serving too).
     "box_voting": True,
+    # transfer learning: freeze the first N modules (reference
+    # transfer_learning.freeze_layers, yolo_config.yaml:160-162 — passed
+    # to Ultralytics as `freeze`; 10 = the whole backbone here too:
+    # stem..sppf). Exact freezing via a masked-updates optimizer stage.
+    "freeze_layers": 0,
     # stage whole host-built epochs on device (one packed upload + one
     # scanned dispatch per epoch) when the epoch fits IQC_STAGED_EPOCH_MB.
     # Streaming pays ~120 ms dispatch + ~120 ms-fixed upload per step over
@@ -127,6 +132,11 @@ class YOLOTrainer:
             optax.add_decayed_weights(c["weight_decay"]),
             optax.sgd(schedule, momentum=c["momentum"], nesterov=True),
         )
+        freeze_n = int(c.get("freeze_layers", 0) or 0)
+        if freeze_n:
+            from iqc_tpu.train.steps import masked_updates
+
+            optimizer = optax.chain(optimizer, masked_updates())
         self._optimizer = optimizer
         size = c["image_size"]
         variables = self.module.init(
@@ -135,6 +145,28 @@ class YOLOTrainer:
         from iqc_tpu.train.steps import TrainState, create_train_state
 
         self.state = replicate(self.mesh, create_train_state(variables, optimizer))
+        if freeze_n:
+            from iqc_tpu.train.steps import set_update_mask
+
+            # canonical module order (jax tree ops sort dict keys, so the
+            # params dict itself cannot supply it); freezing the first N
+            # mirrors Ultralytics' `freeze: N`
+            from iqc_tpu.models.yolo import MODULE_ORDER
+
+            keys = [k for k in MODULE_ORDER if k in self.state.params]
+            frozen = set(keys[:freeze_n])
+            mask = {}
+            for key, sub in self.state.params.items():
+                val = 0.0 if key in frozen else 1.0
+                mask[key] = jax.tree_util.tree_map(
+                    lambda _, v=val: jnp.asarray(v, jnp.float32), sub
+                )
+            self.state = self.state._replace(
+                opt_state=set_update_mask(self.state.opt_state,
+                                          replicate(self.mesh, mask))
+            )
+            logger.info("freeze_layers=%d: frozen modules = %s", freeze_n,
+                        ", ".join(sorted(frozen)))
         self.ema_params = jax.tree_util.tree_map(jnp.copy, self.state.params)
 
         loss_cfg = YoloLossConfig(

@@ -278,6 +278,41 @@ def test_staged_epoch_ineligible_falls_back_to_streaming():
     assert np.isfinite(report["final"]["train_loss"])
 
 
+def test_yolo_freeze_layers_pins_backbone():
+    """freeze_layers=N freezes the first N modules bit-exactly (reference
+    transfer_learning.freeze_layers, yolo_config.yaml:160-162 — the
+    Ultralytics `freeze` arg), weight decay included; later modules
+    train."""
+    import jax
+
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = SyntheticDefectDataset(16, 64, 8, seed=0)
+    loader = DetectionLoader(ds, 8, mosaic_prob=0.0, mixup_prob=0.0, seed=5)
+    t = YOLOTrainer({
+        "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 1,
+        "width_mult": 0.125, "reg_max": 8, "compute_dtype": "float32",
+        "warmup_epochs": 0, "device_mosaic": False, "ema_decay": 0.9,
+        "learning_rate": 0.01, "weight_decay": 1e-2, "freeze_layers": 3,
+        "checkpoint_dir": "/tmp/iqc_yolo_freeze_test",
+    }, mesh_config=MeshConfig(data_parallel=1, model_parallel=1))
+    t.build(steps_per_epoch=2)
+    p0 = jax.tree_util.tree_map(np.asarray, t.state.params)
+    t.train(loader, None, epochs=1)
+    p1 = jax.tree_util.tree_map(np.asarray, t.state.params)
+    for key in ("stem", "down2", "c2f_2"):  # first 3 in MODULE_ORDER
+        for a, b in zip(jax.tree_util.tree_leaves(p0[key]),
+                        jax.tree_util.tree_leaves(p1[key])):
+            np.testing.assert_array_equal(a, b)
+    moved = [
+        float(np.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(p0["head_p3"]),
+                        jax.tree_util.tree_leaves(p1["head_p3"]))
+    ]
+    assert max(moved) > 0
+
+
 def test_loader_without_augmentation_is_deterministic_enumeration():
     """shuffle=False + no mosaic/mixup must enumerate the dataset exactly
     (repeat iteration -> identical batches); validation metrics on fixed
