@@ -219,6 +219,11 @@ class StorageConfig:
     image_storage_path: str = "data/images"
     retention_days: int = 30
     max_storage_gb: float = 100.0
+    # backup/recovery (reference production.backup, config.yaml:238-242)
+    backup_enabled: bool = False
+    backup_path: str = "backups"
+    backup_frequency: str = "daily"  # hourly | daily | weekly
+    backup_retention_days: int = 30
 
     def validate(self) -> None:
         if self.enabled and self.database_type != "sqlite":
@@ -231,6 +236,10 @@ class StorageConfig:
             raise ValueError("retention_days must be >= 1")
         if self.max_storage_gb <= 0:
             raise ValueError("max_storage_gb must be positive")
+        if self.backup_frequency not in ("hourly", "daily", "weekly"):
+            raise ValueError(
+                f"unknown backup_frequency {self.backup_frequency!r}"
+            )
 
 
 @dataclass
@@ -392,6 +401,15 @@ class SystemConfig:
         if "save_detailed_results" in res_raw:
             storage_raw.setdefault("save_detailed_results",
                                    res_raw["save_detailed_results"])
+        # Reference nests backup at top-level production.backup
+        # (config.yaml:238-242); production stays in extra passthrough.
+        bk_raw = dict((raw.get("production") or {}).get("backup") or {})
+        for src, dst in (("enabled", "backup_enabled"),
+                         ("frequency", "backup_frequency"),
+                         ("retention_days", "backup_retention_days"),
+                         ("backup_path", "backup_path")):
+            if src in bk_raw:
+                storage_raw.setdefault(dst, bk_raw[src])
 
         alert_thr_raw = dict(alerts_raw.pop("thresholds", {}) or {})
         if "webhook_urls" in alerts_raw:

@@ -195,6 +195,64 @@ class ResultStore:
                 self.purge()
             except Exception:
                 logger.exception("retention purge failed")
+            try:
+                self.maybe_backup()
+            except Exception:
+                logger.exception("scheduled backup failed")
+
+    # -- backup/recovery (reference production.backup, config.yaml:238-242) ------
+
+    _BACKUP_PERIODS = {"hourly": 3600.0, "daily": 86400.0,
+                       "weekly": 7 * 86400.0}
+
+    def backup(self, dest: Optional[str] = None) -> str:
+        """Consistent online snapshot via the sqlite backup API (safe
+        against concurrent writers — a plain file copy of a WAL db is
+        not). Returns the snapshot path; prunes snapshots older than
+        ``backup_retention_days``."""
+        d = dest or self.config.backup_path
+        os.makedirs(d, exist_ok=True)
+        stamp = time.strftime("%Y%m%d-%H%M%S", time.gmtime(self._clock()))
+        path = os.path.join(d, f"qc_database-{stamp}.sqlite")
+        i = 1
+        while os.path.exists(path):  # same-second snapshots stay distinct
+            path = os.path.join(d, f"qc_database-{stamp}-{i}.sqlite")
+            i += 1
+        with self._lock:
+            dst = sqlite3.connect(path)
+            try:
+                self._db.backup(dst)
+            finally:
+                dst.close()
+        cutoff = self._clock() - self.config.backup_retention_days * 86400.0
+        for f in os.listdir(d):
+            p = os.path.join(d, f)
+            try:
+                if f.startswith("qc_database-") and os.stat(p).st_mtime < cutoff:
+                    os.remove(p)
+            except OSError:
+                pass
+        logger.info("database backup written: %s", path)
+        return path
+
+    def maybe_backup(self) -> Optional[str]:
+        """Run a scheduled backup when ``backup_frequency`` has elapsed
+        since the newest snapshot (reference frequency: hourly|daily|weekly)."""
+        if not self.config.backup_enabled:
+            return None
+        period = self._BACKUP_PERIODS[self.config.backup_frequency]
+        d = self.config.backup_path
+        newest = 0.0
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if f.startswith("qc_database-"):
+                    try:
+                        newest = max(newest, os.stat(os.path.join(d, f)).st_mtime)
+                    except OSError:
+                        pass
+        if self._clock() - newest < period:
+            return None
+        return self.backup()
 
     def _prune_images(self, cutoff: float) -> None:
         root = self.config.image_storage_path

@@ -128,6 +128,53 @@ def test_concurrent_writes_are_safe(tmp_path):
     store.close()
 
 
+def test_backup_snapshot_restores_and_prunes(tmp_path):
+    """Online sqlite backup (reference production.backup,
+    config.yaml:238-242): the snapshot reopens with identical rows; stale
+    snapshots past backup_retention_days are pruned; maybe_backup honors
+    the frequency window."""
+    import os
+    import sqlite3
+
+    bdir = str(tmp_path / "backups")
+    cfg = StorageConfig(enabled=True, backup_enabled=True,
+                        backup_path=bdir, backup_frequency="daily",
+                        backup_retention_days=30,
+                        database_path=str(tmp_path / "qc.sqlite"))
+    store = ResultStore(cfg)
+    store.save_result(_result("B", "PASS", 1))
+    store.save_result(_result("F", "FAIL", 4))
+
+    # plant a stale snapshot beyond retention
+    stale = os.path.join(bdir, "qc_database-20000101-000000.sqlite")
+    os.makedirs(bdir, exist_ok=True)
+    open(stale, "w").close()
+    os.utime(stale, (1, 1))
+
+    snap = store.backup()
+    assert not os.path.exists(stale)  # pruned
+    db = sqlite3.connect(snap)
+    n, fails = db.execute(
+        "SELECT COUNT(*), SUM(pass_fail='FAIL') FROM results").fetchone()
+    db.close()
+    assert (n, fails) == (2, 1)
+
+    # fresh snapshot exists -> the scheduled path does nothing
+    assert store.maybe_backup() is None
+    # age it past the daily window -> a new snapshot is taken
+    os.utime(snap, (1, 1))
+    snap2 = store.maybe_backup()
+    assert snap2 and snap2 != snap
+    store.close()
+
+    # disabled -> never backs up
+    cfg2 = StorageConfig(enabled=True, backup_enabled=False,
+                         database_path=str(tmp_path / "qc2.sqlite"))
+    store2 = ResultStore(cfg2)
+    assert store2.maybe_backup() is None
+    store2.close()
+
+
 def test_reference_nested_yaml_shape(tmp_path):
     cfg = SystemConfig.from_dict({
         "storage": {
@@ -140,6 +187,15 @@ def test_reference_nested_yaml_shape(tmp_path):
     })
     assert cfg.storage.database_path.endswith("db.sqlite")
     assert cfg.storage.image_storage_path == "x/imgs"
+    # reference production.backup nesting maps onto the backup knobs
+    cfg_b = SystemConfig.from_dict({"production": {"backup": {
+        "enabled": True, "frequency": "weekly", "retention_days": 9,
+        "backup_path": "bk/"}}})
+    assert cfg_b.storage.backup_enabled
+    assert cfg_b.storage.backup_frequency == "weekly"
+    assert cfg_b.storage.backup_retention_days == 9
+    assert cfg_b.storage.backup_path == "bk/"
+    assert "production" in cfg_b.extra  # passthrough preserved
     assert cfg.storage.retention_days == 7
     assert not cfg.storage.save_failed_images
     assert not cfg.storage.save_detailed_results
