@@ -161,10 +161,13 @@ def test_backup_snapshot_restores_and_prunes(tmp_path):
 
     # fresh snapshot exists -> the scheduled path does nothing
     assert store.maybe_backup() is None
-    # age it past the daily window -> a new snapshot is taken
-    os.utime(snap, (1, 1))
+    # age ALL snapshots past the daily window (save_result's hourly tick
+    # auto-backed-up too) -> a new snapshot is taken
+    before = set(os.listdir(bdir))
+    for f in before:
+        os.utime(os.path.join(bdir, f), (1, 1))
     snap2 = store.maybe_backup()
-    assert snap2 and snap2 != snap
+    assert snap2 and os.path.basename(snap2) not in before
     store.close()
 
     # disabled -> never backs up
