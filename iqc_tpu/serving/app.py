@@ -145,6 +145,13 @@ class QualityControlSystem:
             from iqc_tpu.storage import ResultStore
 
             self.result_store = ResultStore(self.config.storage)
+        # MES/ERP/QMS forwarding (reference integrations block,
+        # config.yaml:245-263 — declared there, zero integration code)
+        from iqc_tpu.serving.integrations import IntegrationForwarder
+
+        self.integrations = IntegrationForwarder(
+            (self.config.extra or {}).get("integrations")
+        )
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
@@ -229,7 +236,10 @@ class QualityControlSystem:
         return results
 
     def _persist(self, result: Dict, image) -> None:
-        """Best-effort storage write (never fails the inference path)."""
+        """Best-effort storage write + factory-system forwarding (never
+        fails the inference path)."""
+        if self.integrations.enabled:
+            self.integrations.submit(result)
         if self.result_store is None:
             return
         try:

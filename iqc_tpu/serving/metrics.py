@@ -39,6 +39,17 @@ def render_metrics(system) -> str:
     metric("iqc_queue_depth", "gauge", "Processing queue depth",
            system.processing_queue.qsize())
 
+    fwd = getattr(system, "integrations", None)
+    if fwd is not None and fwd.enabled:
+        for key, help_text in (
+            ("submitted", "Results offered to MES/ERP/QMS forwarding"),
+            ("sent", "Integration posts delivered"),
+            ("failed", "Integration posts that exhausted retries"),
+            ("dropped", "Results dropped by a full integration queue"),
+        ):
+            metric(f"iqc_integration_{key}_total", "counter", help_text,
+                   fwd.stats.get(key, 0))
+
     dispatcher = getattr(system, "alert_dispatcher", None)
     if dispatcher is not None:
         for key, help_text in (
