@@ -62,6 +62,9 @@ DASHBOARD_HTML = """<!DOCTYPE html>
     <div class="panel"><h2>Results</h2><div id="results"></div></div>
     <div class="panel"><h2>Live feed</h2><div id="feed"></div></div>
   </div>
+  <div class="row" id="history-row" style="display:none">
+    <div class="panel"><h2>Stored history <span id="hist-summary" style="font-weight:normal"></span></h2><div id="history"></div></div>
+  </div>
 </main>
 <script>
 const $ = id => document.getElementById(id);
@@ -166,6 +169,26 @@ async function poll() {
   }
 }
 setInterval(poll, 5000); poll();
+
+// Stored history (GET /api/results — storage layer; hidden when the
+// server runs with storage.enabled=false and the route returns 503).
+async function pollHistory() {
+  try {
+    const r = await fetch('/api/results?limit=20');
+    if (r.status !== 200) return;   // storage disabled: keep panel hidden
+    const data = await r.json();
+    const s = await (await fetch('/api/results/summary')).json();
+    $('history-row').style.display = '';
+    $('hist-summary').textContent =
+      ` — ${s.total_results} stored, pass rate ${(100*(s.pass_rate||0)).toFixed(1)}%`;
+    $('history').innerHTML = (data.results || []).map(row =>
+      `<div>${new Date(row.created*1000).toLocaleTimeString()} ` +
+      `<b>${row.quality_grade||'—'}</b> ${row.pass_fail||''} — ` +
+      `${row.total_defects} defect(s), ${(row.latency_ms||0).toFixed(0)} ms</div>`
+    ).join('');
+  } catch (e) {}
+}
+setInterval(pollHistory, 10000); pollHistory();
 
 // Primary realtime channel: persistent bidirectional WebSocket (/ws), the
 // Socket.IO equivalent; one-way SSE polling remains as the fallback.

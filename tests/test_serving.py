@@ -129,6 +129,9 @@ def test_index_dashboard(app):
     status, data = wsgi_call(app, "GET", "/")
     assert status == 200
     assert b"Industrial QC Vision" in data
+    # stored-history panel wired to /api/results (hidden when storage off)
+    assert b"history-row" in data and b"pollHistory" in data
+    assert b"/api/results/summary" in data
 
 
 def test_version(app):
