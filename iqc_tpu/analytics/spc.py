@@ -349,6 +349,7 @@ class SPCAnalyzer:
             alerts.append(
                 {
                     "type": "control_violation", "severity": "critical",
+                    "metric": v["metric"],
                     "message": f"Control limit violation: {v['metric']} = {v['value']:.2f}",
                     "timestamp": now, "action_required": True,
                 }
@@ -357,6 +358,7 @@ class SPCAnalyzer:
             alerts.append(
                 {
                     "type": "warning_limit", "severity": "warning",
+                    "metric": w["metric"],
                     "message": f"Warning limit exceeded: {w['metric']} = {w['value']:.2f}",
                     "timestamp": now, "action_required": False,
                 }

@@ -399,6 +399,21 @@ class EnsemblePredictor:
         self._counter_lock = threading.Lock()
         self.crop_classified_total = 0
         self.mock_tail_total = 0
+        self.pruning_report = None
+        if getattr(cfg.edge, "sparsity", 0.0) > 0.0:
+            # magnitude pruning before any precision lowering (declared
+            # optimization.pruning block — models/optimizer.prune_magnitude)
+            from iqc_tpu.models.optimizer import prune_magnitude
+
+            self.yolo_vars, yolo_pr = prune_magnitude(
+                self.yolo_vars, cfg.edge.sparsity,
+                cfg.edge.structured_pruning,
+            )
+            self.resnet_vars, resnet_pr = prune_magnitude(
+                self.resnet_vars, cfg.edge.sparsity,
+                cfg.edge.structured_pruning,
+            )
+            self.pruning_report = {"yolo": yolo_pr, "resnet": resnet_pr}
         if cfg.edge.precision == "int8":
             from iqc_tpu.models import resnet_int8
             from iqc_tpu.models.optimizer import XLAOptimizer
@@ -781,6 +796,7 @@ class EnsemblePredictor:
             "fused_graph": True,
             "serving_precision": self.config.edge.precision,
             "precision_report": self.precision_report,
+            "pruning_report": self.pruning_report,
         }
 
     def visualize_ensemble_results(self, image: np.ndarray, results: Dict) -> np.ndarray:

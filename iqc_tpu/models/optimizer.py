@@ -137,25 +137,31 @@ def prune_magnitude(params, sparsity: float, structured: bool = False,
         if (not jnp.issubdtype(x.dtype, jnp.floating) or x.ndim < 2
                 or x.size < min_size):
             return x
+        if structured and x.shape[-1] < 32:
+            # never channel-prune narrow outputs (detection/class heads:
+            # zeroing an output channel deletes a class permanently)
+            return x
         total += int(x.size)
         if sparsity == 0.0:
             return x
+        # argsort-based masks zero EXACTLY k entries — a magnitude-threshold
+        # cut would also zero every tie at the boundary (worst case, an
+        # all-equal tensor pruned 100% at any sparsity)
         if structured:
             flat = x.reshape(-1, x.shape[-1])
             norms = jnp.linalg.norm(flat, axis=0)
             k = int(np.floor(sparsity * x.shape[-1]))
             if k == 0:
                 return x
-            cut = jnp.sort(norms)[k - 1]
-            mask = (norms > cut).astype(x.dtype)
+            drop = jnp.argsort(norms)[:k]
+            mask = jnp.ones((x.shape[-1],), x.dtype).at[drop].set(0)
             zeroed += int(x.size // x.shape[-1]) * k
             return x * mask
-        mags = jnp.abs(x).reshape(-1)
         k = int(np.floor(sparsity * x.size))
         if k == 0:
             return x
-        cut = jnp.sort(mags)[k - 1]
-        mask = (jnp.abs(x) > cut).astype(x.dtype)
+        drop = jnp.argsort(jnp.abs(x).reshape(-1))[:k]
+        mask = jnp.ones((x.size,), x.dtype).at[drop].set(0).reshape(x.shape)
         zeroed += k
         return x * mask
 

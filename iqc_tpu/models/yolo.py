@@ -40,6 +40,13 @@ MODULE_ORDER = (
     "neck_bu5", "head_p3", "head_p4", "head_p5",
 )
 
+# Backbone membership (the s2d variant drops down2, so its backbone is 9
+# modules — freeze_layers=10 must still mean "the whole backbone" there).
+BACKBONE_KEYS = frozenset(
+    ("stem", "stem_s2d", "down2", "c2f_2", "down3", "c2f_3", "down4",
+     "c2f_4", "down5", "c2f_5", "sppf")
+)
+
 
 def _make_divisible(x: float, divisor: int = 8) -> int:
     return max(divisor, int(round(x / divisor) * divisor))

@@ -130,6 +130,9 @@ class AlertDispatcher:
         """Queue one alert for delivery. Returns True if accepted."""
         if not self.enabled:
             return False
+        # per-rule cooldown key: SPC alerts carry `metric` (which chart
+        # series violated), threshold alerts carry `rule` — without them
+        # distinct alerts of one type would suppress each other
         key = f"{alert.get('type', 'alert')}:{alert.get('rule', alert.get('metric', ''))}"
         now = self._clock()
         with self._lock:
@@ -138,13 +141,16 @@ class AlertDispatcher:
             if last is not None and now - last < self.config.cooldown_seconds:
                 self.stats["suppressed"] += 1
                 return False
-            self._last_sent[key] = now
         try:
             self._queue.put_nowait(dict(alert))
         except queue.Full:
+            # a dropped alert must NOT start the cooldown — the next
+            # occurrence should enqueue once capacity frees
             with self._lock:
                 self.stats["dropped"] += 1
             return False
+        with self._lock:
+            self._last_sent[key] = now
         self._ensure_worker()
         return True
 

@@ -331,6 +331,28 @@ class QualityControlSystem:
         self.config = self.config.update(patch)
         if self.detector is not None:
             self.detector.update_config(patch)
+        # rebuild the subsystems that hold config by reference, else a
+        # PUT /api/config touching alerts/storage/integrations is a
+        # silent no-op on the running system
+        if "alerts" in patch:
+            self.alert_dispatcher.config = self.config.alerts
+        if "storage" in patch:
+            if self.config.storage.enabled and self.result_store is None:
+                from iqc_tpu.storage import ResultStore
+
+                self.result_store = ResultStore(self.config.storage)
+            elif not self.config.storage.enabled and self.result_store is not None:
+                self.result_store.close()
+                self.result_store = None
+            elif self.result_store is not None:
+                self.result_store.config = self.config.storage
+        if "integrations" in patch:
+            from iqc_tpu.serving.integrations import IntegrationForwarder
+
+            self.integrations.close()
+            self.integrations = IntegrationForwarder(
+                (self.config.extra or {}).get("integrations")
+            )
 
     # passthroughs used by routes
     def get_system_info(self) -> Dict:

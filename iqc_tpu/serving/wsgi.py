@@ -542,7 +542,12 @@ def serve(app: App, host: str = "0.0.0.0", port: int = 5000, background: bool = 
 
         ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
         ctx.load_cert_chain(ssl_cert, ssl_key)
-        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+        # Defer the handshake to the per-connection handler thread: with
+        # do_handshake_on_connect=True the handshake runs inside accept()
+        # on the single accept loop, so one stalled client (TCP open, no
+        # ClientHello) would block ALL new connections.
+        server.socket = ctx.wrap_socket(server.socket, server_side=True,
+                                        do_handshake_on_connect=False)
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()

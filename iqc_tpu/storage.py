@@ -65,6 +65,7 @@ class ResultStore:
         self._db.executescript(_SCHEMA)
         self._db.commit()
         self._last_purge = 0.0
+        self._maint_thread: Optional[threading.Thread] = None
 
     # -- writes -------------------------------------------------------------------
 
@@ -189,8 +190,15 @@ class ResultStore:
 
     def _maybe_purge(self) -> None:
         now = self._clock()
-        if now - self._last_purge > 3600.0:
-            self._last_purge = now
+        if now - self._last_purge <= 3600.0:
+            return
+        self._last_purge = now
+
+        # Run off the request thread: purge walks the whole image archive
+        # and backup copies the full database — synchronous, they would
+        # stall the process_image call that happens to trip the hourly
+        # tick (the _persist contract is "never fails/stalls inference").
+        def work():
             try:
                 self.purge()
             except Exception:
@@ -199,6 +207,11 @@ class ResultStore:
                 self.maybe_backup()
             except Exception:
                 logger.exception("scheduled backup failed")
+
+        self._maint_thread = threading.Thread(
+            target=work, daemon=True, name="iqc-storage-maintenance"
+        )
+        self._maint_thread.start()
 
     # -- backup/recovery (reference production.backup, config.yaml:238-242) ------
 

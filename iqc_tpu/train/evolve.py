@@ -138,10 +138,14 @@ def _default_fitness(config: Dict) -> float:
     m = trainer.config["max_boxes"]
     train_ds = SyntheticDefectDataset(n, size, m, seed=0)
     val_ds = SyntheticDefectDataset(max(n // 4, 32), size, m, seed=1)
+    # device mosaic owns augmentation when active; otherwise the evolved
+    # mosaic AND mixup genes must flow to the host loader, else evolution
+    # selects mixup on pure run noise
     host_p = 0.0 if trainer.uses_device_mosaic else trainer.config["mosaic"]
+    host_m = 0.0 if trainer.uses_device_mosaic else trainer.config["mixup"]
     report = trainer.train(
         DetectionLoader(train_ds, trainer.config["batch_size"],
-                        mosaic_prob=host_p, mixup_prob=0.0),
+                        mosaic_prob=host_p, mixup_prob=host_m),
         DetectionLoader(val_ds, trainer.config["batch_size"], mosaic_prob=0,
                         mixup_prob=0, shuffle=False),
     )

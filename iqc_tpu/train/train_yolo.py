@@ -84,6 +84,25 @@ DEFAULT_CONFIG: Dict[str, Any] = {
 }
 
 
+def frozen_modules(param_keys, freeze_n: int) -> set:
+    """Module names frozen by ``freeze_layers=N``.
+
+    N mirrors Ultralytics' ``freeze: N`` for the faithful stem (10 = the
+    backbone). Canonical module order comes from models/yolo.MODULE_ORDER
+    (jax tree ops sort dict keys, so the params dict cannot supply it).
+    The s2d variant's backbone is 9 modules (no down2), so N>=10 freezes
+    the whole backbone plus N-10 neck modules on both variants — never a
+    neck module at N=10."""
+    from iqc_tpu.models.yolo import BACKBONE_KEYS, MODULE_ORDER
+
+    present = [k for k in MODULE_ORDER if k in param_keys]
+    backbone = [k for k in present if k in BACKBONE_KEYS]
+    rest = [k for k in present if k not in BACKBONE_KEYS]
+    if freeze_n >= 10:
+        return set(backbone + rest[:freeze_n - 10])
+    return set(backbone[:freeze_n])
+
+
 class YOLOTrainer:
     """API parity with the reference ``YOLOTrainer`` (train_yolo.py:20-342),
     loop owned natively."""
@@ -148,13 +167,7 @@ class YOLOTrainer:
         if freeze_n:
             from iqc_tpu.train.steps import set_update_mask
 
-            # canonical module order (jax tree ops sort dict keys, so the
-            # params dict itself cannot supply it); freezing the first N
-            # mirrors Ultralytics' `freeze: N`
-            from iqc_tpu.models.yolo import MODULE_ORDER
-
-            keys = [k for k in MODULE_ORDER if k in self.state.params]
-            frozen = set(keys[:freeze_n])
+            frozen = frozen_modules(list(self.state.params), freeze_n)
             mask = {}
             for key, sub in self.state.params.items():
                 val = 0.0 if key in frozen else 1.0
@@ -613,8 +626,11 @@ class YOLOTrainer:
                 getattr(loader, "shuffle", True)):
             return None
         cached = self._val_cache.get(id(loader))
-        if cached is not None:
-            return cached
+        # the cached entry pins the loader object, so an id() can only be
+        # reused after its entry is dropped; the identity check makes the
+        # key collision-proof regardless
+        if cached is not None and cached[0] is loader:
+            return cached[1], cached[2]
         batches = list(loader)
         if not batches:
             return None
@@ -632,9 +648,9 @@ class YOLOTrainer:
                 gv = b["valid"][i]
                 gts.append({"boxes": b["boxes"][i][gv],
                             "classes": b["classes"][i][gv]})
-        cached = (jax.device_put(imgs), gts)
-        self._val_cache[id(loader)] = cached
-        return cached
+        imgs_dev = jax.device_put(imgs)
+        self._val_cache[id(loader)] = (loader, imgs_dev, gts)
+        return imgs_dev, gts
 
     def validate(self, loader: DetectionLoader) -> Dict:
         c = self.config

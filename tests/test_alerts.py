@@ -77,6 +77,55 @@ def test_dispatcher_cooldown_and_counters():
     d.close()
 
 
+def test_spc_alerts_cooldown_per_metric_and_full_queue_no_cooldown():
+    """(a) SPC alerts for different metrics must not share a cooldown key
+    (they carry `metric`); (b) an alert dropped by a full queue must not
+    start the cooldown."""
+    sent = []
+    cfg = AlertsConfig(webhook_notifications=True,
+                       webhook_url="http://sink.test/h",
+                       cooldown_seconds=60.0)
+    now = [0.0]
+    d = AlertDispatcher(cfg, sender=lambda u, b, h, t: sent.append(u) or 200,
+                        clock=lambda: now[0])
+    a1 = {"type": "control_violation", "metric": "defect_count"}
+    a2 = {"type": "control_violation", "metric": "avg_confidence"}
+    assert d.submit(a1)
+    assert d.submit(a2)  # distinct metric: independent cooldown
+    assert not d.submit(a1)  # same metric: suppressed
+    assert d.stats["suppressed"] == 1
+    d.close()
+
+    d2 = AlertDispatcher(cfg, sender=lambda u, b, h, t: 200,
+                         clock=lambda: now[0], max_queue=1)
+    # no worker drains (never started): fill the queue, then overflow
+    d2._queue.put_nowait({})
+    assert not d2.submit(a1)         # dropped: queue full
+    assert d2.stats["dropped"] == 1
+    d2._queue.get_nowait()           # capacity frees
+    assert d2.submit(a1)             # NOT cooldown-suppressed
+    d2.close()
+
+
+def test_runtime_config_update_rebuilds_alerting(tiny_config):
+    """PUT /api/config semantics: enabling webhooks at runtime must take
+    effect on the live dispatcher (it held the old config by reference)."""
+    from iqc_tpu.serving.app import QualityControlSystem
+
+    system = QualityControlSystem(config=tiny_config)
+    assert not system.alert_dispatcher.enabled
+    system.update_config({"alerts": {
+        "webhook_notifications": True, "webhook_url": "http://sink.test/h",
+    }})
+    assert system.alert_dispatcher.enabled
+    system.update_config({"storage": {
+        "enabled": True, "database_path": "/tmp/iqc_rtcfg_qc.sqlite",
+    }})
+    assert system.result_store is not None
+    system.update_config({"storage": {"enabled": False}})
+    assert system.result_store is None
+
+
 def test_dispatcher_disabled_without_urls():
     d = AlertDispatcher(AlertsConfig(webhook_notifications=True))
     assert not d.enabled

@@ -47,15 +47,35 @@ def test_prune_magnitude_structured_zeroes_whole_channels():
     from iqc_tpu.models.optimizer import prune_magnitude
 
     rng = np.random.default_rng(1)
-    w = jnp.asarray(rng.normal(0, 1, (3, 3, 8, 16)), jnp.float32)  # HWIO
+    w = jnp.asarray(rng.normal(0, 1, (3, 3, 8, 64)), jnp.float32)  # HWIO
     pruned, report = prune_magnitude({"conv": w}, sparsity=0.25,
                                      structured=True, min_size=64)
-    out = np.asarray(pruned["conv"]).reshape(-1, 16)
+    out = np.asarray(pruned["conv"]).reshape(-1, 64)
     zero_cols = (out == 0).all(axis=0)
-    assert zero_cols.sum() == 4  # floor(0.25 * 16) whole output channels
+    assert zero_cols.sum() == 16  # floor(0.25 * 64) whole output channels
     # the removed channels are the lowest-L2 ones
-    norms = np.linalg.norm(np.asarray(w).reshape(-1, 16), axis=0)
-    assert set(np.where(zero_cols)[0]) == set(np.argsort(norms)[:4])
+    norms = np.linalg.norm(np.asarray(w).reshape(-1, 64), axis=0)
+    assert set(np.where(zero_cols)[0]) == set(np.argsort(norms)[:16])
+
+
+def test_prune_ties_and_narrow_head_protection():
+    """(a) An all-equal tensor prunes EXACTLY floor(s*n) entries — a
+    magnitude-threshold cut would zero 100% on ties. (b) structured mode
+    never channel-prunes narrow outputs (a 5-class head channel zeroed =
+    a class permanently undetectable)."""
+    from iqc_tpu.models.optimizer import prune_magnitude
+
+    ties = {"w": jnp.ones((32, 32), jnp.float32)}
+    pruned, report = prune_magnitude(ties, sparsity=0.1, min_size=64)
+    assert int((np.asarray(pruned["w"]) == 0).sum()) == int(0.1 * 1024)
+
+    head = {"cls_out": jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (1, 1, 64, 5)), jnp.float32)}
+    protected, rep = prune_magnitude(head, sparsity=0.4, structured=True,
+                                     min_size=64)
+    np.testing.assert_array_equal(np.asarray(protected["cls_out"]),
+                                  np.asarray(head["cls_out"]))
+    assert rep["prunable_params"] == 0  # excluded from the denominator too
 
 
 def test_optimizer_pruning_pipeline_with_int8():

@@ -144,6 +144,8 @@ def test_backup_snapshot_restores_and_prunes(tmp_path):
     store = ResultStore(cfg)
     store.save_result(_result("B", "PASS", 1))
     store.save_result(_result("F", "FAIL", 4))
+    if store._maint_thread is not None:  # settle background maintenance
+        store._maint_thread.join(timeout=5)
 
     # plant a stale snapshot beyond retention
     stale = os.path.join(bdir, "qc_database-20000101-000000.sqlite")

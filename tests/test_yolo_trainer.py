@@ -313,6 +313,26 @@ def test_yolo_freeze_layers_pins_backbone():
     assert max(moved) > 0
 
 
+def test_frozen_modules_backbone_semantics_both_stems():
+    """freeze_layers=10 means 'the whole backbone' on BOTH stem variants
+    (the s2d backbone has 9 modules — no down2 — so naive first-10 would
+    freeze a neck module there)."""
+    from iqc_tpu.train.train_yolo import frozen_modules
+
+    conv_keys = ["stem", "down2", "c2f_2", "down3", "c2f_3", "down4",
+                 "c2f_4", "down5", "c2f_5", "sppf", "neck_td4", "neck_td3",
+                 "head_p3"]
+    s2d_keys = [k for k in conv_keys if k not in ("stem", "down2")] + ["stem_s2d"]
+    conv_bb = {"stem", "down2", "c2f_2", "down3", "c2f_3", "down4",
+               "c2f_4", "down5", "c2f_5", "sppf"}
+    s2d_bb = (conv_bb - {"stem", "down2"}) | {"stem_s2d"}
+    assert frozen_modules(conv_keys, 10) == conv_bb
+    assert frozen_modules(s2d_keys, 10) == s2d_bb  # never a neck module
+    assert frozen_modules(conv_keys, 3) == {"stem", "down2", "c2f_2"}
+    assert frozen_modules(s2d_keys, 3) == {"stem_s2d", "c2f_2", "down3"}
+    assert frozen_modules(conv_keys, 11) == conv_bb | {"neck_td4"}
+
+
 def test_loader_without_augmentation_is_deterministic_enumeration():
     """shuffle=False + no mosaic/mixup must enumerate the dataset exactly
     (repeat iteration -> identical batches); validation metrics on fixed
