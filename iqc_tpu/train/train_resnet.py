@@ -104,8 +104,17 @@ class ResNetTrainer:
     """Config-driven trainer, API parity with the reference
     ``ResNetTrainer`` (train_resnet.py:30-573)."""
 
+    # architecture enum, parity with build_model (train_resnet.py:230-235):
+    # resnet50|resnet101 supported, anything else rejected the same way
+    ARCHITECTURES = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}
+
     def __init__(self, config: Optional[Dict] = None, mesh_config: Optional[MeshConfig] = None):
         self.config = {**DEFAULT_CONFIG, **(config or {})}
+        arch = self.config.get("architecture")
+        if arch is not None:
+            if arch not in self.ARCHITECTURES:
+                raise ValueError(f"Unsupported architecture: {arch}")
+            self.config["stage_sizes"] = list(self.ARCHITECTURES[arch])
         self.rng = set_global_seed(self.config["seed"])
         self.mesh = create_mesh(mesh_config or MeshConfig())
         dtype = jnp.bfloat16 if self.config["compute_dtype"] == "bfloat16" else jnp.float32

@@ -300,6 +300,18 @@ def test_ema_ramp_tracks_params_early():
     assert w < 0.2  # ~0.08 after 100 steps; constant decay would give 0.99
 
 
+def test_architecture_enum_maps_and_rejects():
+    """`architecture: resnet50|resnet101` maps to stage sizes; unknown
+    values reject exactly like the reference (train_resnet.py:230-235)."""
+    from iqc_tpu.train.train_resnet import ResNetTrainer
+
+    t = ResNetTrainer({"architecture": "resnet101", "num_classes": 2,
+                       "image_size": 32, "compute_dtype": "float32"})
+    assert t.config["stage_sizes"] == [3, 4, 23, 3]
+    with pytest.raises(ValueError, match="Unsupported architecture"):
+        ResNetTrainer({"architecture": "resnet18"})
+
+
 def test_freeze_backbone_and_gradual_unfreeze():
     """Transfer-learning parity: freeze_backbone trains only stage4+head
     (reference resent_model.py:305-312, torch requires_grad=False); the
