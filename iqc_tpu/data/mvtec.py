@@ -158,6 +158,21 @@ def split_indices(n: int, val_fraction: float = 0.25, seed: int = 0
     return sorted(idx[n_val:].tolist()), sorted(idx[:n_val].tolist())
 
 
+def split_indices_grouped(groups: Sequence, val_fraction: float = 0.25,
+                          seed: int = 0) -> Tuple[List[int], List[int]]:
+    """Train/val split along GROUP boundaries (e.g. source image path):
+    all samples of a group land on the same side. Per-sample splitting of
+    per-region crop datasets leaks near-duplicate crops of one source
+    image into both splits and inflates val accuracy."""
+    uniq = sorted(set(groups))
+    perm = np.random.default_rng(seed).permutation(len(uniq))
+    n_val = max(1, int(round(len(uniq) * val_fraction)))
+    val_groups = {uniq[i] for i in perm[:n_val]}
+    train_idx = [i for i, g in enumerate(groups) if g not in val_groups]
+    val_idx = [i for i, g in enumerate(groups) if g in val_groups]
+    return train_idx, val_idx
+
+
 class MVTecClassificationDataset:
     """test/ defect-type folders as class labels (ImageFolder-equivalent;
     plugs into the ResNet trainer's DataLoader).
@@ -236,12 +251,21 @@ class MVTecCropClassificationDataset:
             if os.path.isdir(os.path.join(test_dir, d)) and d != "good"
         )
         self.class_names = list(class_names or defect_types)
+        unknown = [d for d in defect_types if d not in self.class_names]
+        if unknown:
+            # silently mapping unknown folders to label 0 would train on
+            # 100% mislabeled data for those types
+            raise ValueError(
+                f"defect folders {unknown} not in class_names "
+                f"{self.class_names}; pass class_names=None to derive "
+                "labels from the folder names"
+            )
         # samples: (img_path, xyxy box in original px, label)
         self.samples: List[Tuple[str, Tuple[int, int, int, int], int]] = []
         from PIL import Image
 
         for dt in defect_types:
-            label = self.class_names.index(dt) if dt in self.class_names else 0
+            label = self.class_names.index(dt)
             for img_path in _list_images(os.path.join(test_dir, dt)):
                 stem = os.path.splitext(os.path.basename(img_path))[0]
                 mask_path = os.path.join(gt_dir, dt, f"{stem}_mask.png")
@@ -252,6 +276,8 @@ class MVTecCropClassificationDataset:
                 for box in mask_to_boxes(mask):
                     self.samples.append((img_path, box, label))
         self.labels = np.asarray([l for _, _, l in self.samples], np.int32)
+        # group key per sample (source image) for leakage-free splitting
+        self.groups = [p for p, _, _ in self.samples]
 
     def __len__(self) -> int:
         return len(self.samples)

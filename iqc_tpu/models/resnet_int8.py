@@ -180,15 +180,18 @@ def calibrate_activation_scales(
     """Record per-layer activation absmax/127 over calibration batches
     (running max) — the TensorRT calibration-dataset equivalent
     (config.yaml:148-150). Returns [n_convs] f32."""
-    def one(batch):
+    # q as an ARGUMENT, not a closure: embedded weight-tree constants are
+    # the pathological jit pattern on the tunnel backend (CLAUDE.md rule 1)
+    def one(qq, batch):
         collect: list = []
-        apply(q, batch, stage_sizes, act_scales=None, _collect=collect)
+        apply(qq, batch, stage_sizes, act_scales=None, _collect=collect)
         return jnp.stack(collect)
 
     f = jax.jit(one)
+    q_dev = jax.device_put(q)
     scales = None
     for batch in sample_batches:
-        s = f(jnp.asarray(batch))
+        s = f(q_dev, jnp.asarray(batch))
         scales = s if scales is None else jnp.maximum(scales, s)
     return scales
 

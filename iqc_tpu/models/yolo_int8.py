@@ -252,15 +252,20 @@ def calibrate_activation_scales(q: Dict, sample_batches,
     """Per-layer running absmax/127 over calibration batches (the TensorRT
     calibration-dataset step, config.yaml:148-150). Returns [n_convs] f32."""
 
-    def one(batch):
+    # q passes as an ARGUMENT: closing over the ~12 MB weight tree embeds
+    # it as jit constants — the pathological pattern on the tunnel backend
+    # (CLAUDE.md rule 1: ~300 s compiles), and this now runs on the
+    # default int8 serving startup path
+    def one(qq, batch):
         collect: list = []
-        apply(q, batch, reg_max, num_classes, act_scales=None,
+        apply(qq, batch, reg_max, num_classes, act_scales=None,
               _collect=collect)
         return jnp.stack(collect)
 
     f = jax.jit(one)
+    q_dev = jax.device_put(q)
     scales = None
     for batch in sample_batches:
-        s = f(jnp.asarray(batch))
+        s = f(q_dev, jnp.asarray(batch))
         scales = s if scales is None else jnp.maximum(scales, s)
     return scales

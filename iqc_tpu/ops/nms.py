@@ -183,6 +183,7 @@ def nms_single(
         iou_boxes = top_boxes
 
     pallas = use_pallas if use_pallas is not None else _pallas_suppression_default()
+    iou = None
     if iterations is None:
         iou = iou_matrix(iou_boxes, iou_boxes)
         keep = _suppression_exact(iou, iou_threshold)
@@ -204,7 +205,9 @@ def nms_single(
         # kept box i with weight score_j * iou(i,j), gated at the NMS overlap
         # threshold (every kept box votes for itself with weight score_i).
         # iou_boxes carry the per-class offset, so cross-class weights are 0.
-        iou_full = iou_matrix(iou_boxes, iou_boxes)
+        # XLA branches already computed this matrix — only the Pallas
+        # branch (suppression in VMEM, no materialized IoU) recomputes.
+        iou_full = iou if iou is not None else iou_matrix(iou_boxes, iou_boxes)
         w = jnp.where(
             (iou_full >= iou_threshold) & cand_valid[None, :],
             top_scores[None, :] * iou_full, 0.0,

@@ -442,17 +442,23 @@ def create_app(qc_system: Optional[QualityControlSystem] = None,
         # open for container healthchecks (Dockerfile HEALTHCHECK).
         valid_keys = frozenset(api_cfg.api_keys)
 
+        # Only the dashboard page and healthchecks stay public: the control
+        # surface (/realtime/*) and the event feed (/events) carry live
+        # production data and must be behind the key too, not just /api/*.
+        public_paths = frozenset(("/", "/health", "/api/health"))
+
         def require_api_key(req: Request) -> Optional[Response]:
             path = req.path or ""
-            if req.method == "OPTIONS" or not path.startswith("/api/"):
-                return None
-            if path == "/api/health":
+            if req.method == "OPTIONS" or path in public_paths:
                 return None
             key = req.header("X-API-Key")
             if not key:
                 auth_hdr = req.header("Authorization")
                 if auth_hdr.lower().startswith("bearer "):
                     key = auth_hdr[7:].strip()
+            if not key:
+                # EventSource/WebSocket clients cannot set headers
+                key = req.query.get("api_key", "")
             if key and key in valid_keys:
                 return None
             return jsonify(
@@ -462,6 +468,23 @@ def create_app(qc_system: Optional[QualityControlSystem] = None,
             )
 
         app.before_request.append(require_api_key)
+
+        def ws_auth(headers, path: str) -> bool:
+            # the /ws handshake is dispatched pre-WSGI (wsgi.py handle()),
+            # so before_request never runs for it
+            key = headers.get("X-API-Key") or ""
+            if not key:
+                ah = headers.get("Authorization", "")
+                if ah.lower().startswith("bearer "):
+                    key = ah[7:].strip()
+            if not key:
+                from urllib.parse import parse_qs, urlsplit
+
+                key = (parse_qs(urlsplit(path).query).get("api_key")
+                       or [""])[0]
+            return key in valid_keys
+
+        app.ws_auth = ws_auth
 
     # -- inline routes (app.py:164-236) ----------------------------------------
 

@@ -153,14 +153,21 @@ class WebSocket:
     handled inline. Fragmented messages are reassembled (continuation
     frames), which is all a browser peer requires."""
 
+    # bound on one reassembled message: a peer-declared 64-bit frame length
+    # (or unbounded continuation fragments) must not grow server memory
+    MAX_MESSAGE_BYTES = 16 << 20
+
     def __init__(self, sock, mask_outgoing: bool = False,
-                 prebuffer: bytes = b""):
+                 prebuffer: bytes = b"",
+                 max_message_bytes: Optional[int] = None):
         self.sock = sock
         self.open = True
         self._mask_outgoing = mask_outgoing  # client endpoints must mask
         self._sendlock = threading.Lock()
         self._fragments: List[bytes] = []
+        self._frag_bytes = 0
         self._frag_opcode = 0
+        self.max_message_bytes = max_message_bytes or self.MAX_MESSAGE_BYTES
         # bytes read past the handshake (frames coalesced with the 101)
         self._rbuf = prebuffer
 
@@ -238,6 +245,10 @@ class WebSocket:
                     self.open = False
                     return None
                 n = struct.unpack(">Q", ext)[0]
+            if n + self._frag_bytes > self.max_message_bytes:
+                # peer-declared length over the cap: refuse before reading
+                self.close(code=1009)  # 1009 = message too big
+                return None
             key = b"\x00" * 4
             if masked:
                 key = self._read_exact(4)
@@ -260,15 +271,18 @@ class WebSocket:
                 continue
             if opcode in (0x1, 0x2) and not fin:  # fragmented start
                 self._fragments = [payload]
+                self._frag_bytes = len(payload)
                 self._frag_opcode = opcode
                 continue
             if opcode == 0x0:  # continuation
                 self._fragments.append(payload)
+                self._frag_bytes += len(payload)
                 if not fin:
                     continue
                 payload = b"".join(self._fragments)
                 opcode = self._frag_opcode
                 self._fragments = []
+                self._frag_bytes = 0
             if opcode == 0x1:
                 return payload.decode("utf-8", "replace")
             return payload
@@ -347,6 +361,10 @@ class App:
         self._error_handlers: Dict[int, Callable] = {}
         self.before_request: List[Callable[[Request], Optional[Response]]] = []
         self.after_request: List[Callable[[Request, Response], None]] = []
+        # WebSocket handshake auth (the upgrade is dispatched pre-WSGI in
+        # the request handler, so before_request hooks never see it):
+        # fn(headers, raw_path) -> bool; None = open
+        self.ws_auth: Optional[Callable[[Any, str], bool]] = None
 
     def route(self, path: str, methods: Tuple[str, ...] = ("GET",)):
         pattern = re.compile(
@@ -485,6 +503,10 @@ class _QuietHandler(WSGIRequestHandler):
             path = self.path.split("?", 1)[0]
             match = app.match_websocket(path)
             key = self.headers.get("Sec-WebSocket-Key")
+            if match and key and app.ws_auth is not None \
+                    and not app.ws_auth(self.headers, self.path):
+                self.send_error(401)
+                return
             if match and key:
                 fn, params = match
                 self.close_connection = True

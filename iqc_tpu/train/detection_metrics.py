@@ -122,9 +122,12 @@ def evaluate_detections(
         "mAP50_95": 0.0 if np.isnan(map5095) else map5095,
         "precision": float(np.mean(prec50)) if prec50 else 0.0,
         "recall": float(np.mean(rec50)) if rec50 else 0.0,
-        "per_class_ap50": ap_per_class_thresh[:, 0].tolist(),
+        # NaN-guarded like mAP above: bare NaN in json.dumps output is
+        # invalid strict JSON for downstream parsers
+        "per_class_ap50": np.nan_to_num(ap_per_class_thresh[:, 0]).tolist(),
         # class-averaged AP at each IoU threshold (0.50..0.95) — shows
         # whether a mAP50-95 gap is localization sharpness (high-IoU tail)
         # or detection quality (uniform)
-        "per_thresh_ap": [float(x) for x in per_thresh],
+        "per_thresh_ap": [0.0 if np.isnan(x) else float(x)
+                          for x in per_thresh],
     }

@@ -91,6 +91,11 @@ def main() -> None:
         trainer._predict = lambda p, bs, im, c, i: predict_q(
             q_dev, scales_dev, im, c, i,
             trainer._anchors_dev, trainer._strides_dev)
+        # force the streaming validate path: the device-resident val scan
+        # (_maybe_device_val/_val_scan) closes over the fp predict_core,
+        # which would silently bypass this int8 monkeypatch and measure
+        # the fp model
+        trainer._maybe_device_val = lambda loader: None
 
     report = {"checkpoint": ckpt, "image_size": image_size, "int8": int8,
               "val_seed": val_seed, "splits": {}}

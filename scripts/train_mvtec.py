@@ -127,7 +127,7 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
 def train_classification(cat_dir: str, epochs: int, seed: int, out: str):
     from iqc_tpu.config import DEFECT_CLASSES
     from iqc_tpu.data.mvtec import (
-        MVTecCropClassificationDataset, SubsetDataset, split_indices,
+        MVTecCropClassificationDataset, SubsetDataset, split_indices_grouped,
     )
     from iqc_tpu.train.train_resnet import ResNetTrainer
 
@@ -140,10 +140,14 @@ def train_classification(cat_dir: str, epochs: int, seed: int, out: str):
         cat_dir, (224, 224), class_names=list(DEFECT_CLASSES),
     )
 
-    train_idx, val_idx = split_indices(len(ds), val_fraction=0.25, seed=0)
+    # split along SOURCE IMAGES: per-region splitting would put two crops
+    # of one image (same texture/illumination) on both sides and inflate
+    # val accuracy
+    train_idx, val_idx = split_indices_grouped(ds.groups, val_fraction=0.25,
+                                               seed=0)
     train_ds, val_ds = SubsetDataset(ds, train_idx), SubsetDataset(ds, val_idx)
     print(f"classification: {len(train_ds)} train / {len(val_ds)} val "
-          f"(classes {ds.class_names})", flush=True)
+          f"(classes {ds.class_names}, image-grouped split)", flush=True)
 
     trainer = ResNetTrainer({
         "seed": seed,

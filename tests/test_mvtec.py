@@ -198,6 +198,46 @@ def test_crop_classification_dataset(mvtec_tree):
     assert img2.shape == (64, 64, 3)
 
 
+def test_crop_classification_rejects_unknown_folders(mvtec_tree):
+    """Folders outside class_names must raise, not silently map to label 0
+    (a real MVTec category with class_names=DEFECT_CLASSES would otherwise
+    train on 100% mislabeled crops)."""
+    from iqc_tpu.data.mvtec import MVTecCropClassificationDataset
+
+    with pytest.raises(ValueError, match="not in class_names"):
+        MVTecCropClassificationDataset(
+            mvtec_tree, (32, 32), class_names=["crack", "dent"],
+        )
+    # class_names=None derives labels from the folders
+    ds = MVTecCropClassificationDataset(mvtec_tree, (32, 32))
+    assert ds.class_names == ["hole", "scratch"]
+
+
+def test_grouped_split_no_source_image_leakage(mvtec_tree):
+    """split_indices_grouped keeps every crop of one source image on one
+    side — per-sample splits leak near-duplicate crops across train/val."""
+    from iqc_tpu.data.mvtec import (
+        MVTecCropClassificationDataset,
+        split_indices_grouped,
+    )
+
+    ds = MVTecCropClassificationDataset(
+        mvtec_tree, (32, 32), class_names=["hole", "scratch"],
+    )
+    train_idx, val_idx = split_indices_grouped(ds.groups, val_fraction=0.25,
+                                               seed=0)
+    assert len(train_idx) + len(val_idx) == len(ds)
+    train_groups = {ds.groups[i] for i in train_idx}
+    val_groups = {ds.groups[i] for i in val_idx}
+    assert not (train_groups & val_groups)
+    # synthetic check at scale: 10 groups x 3 crops
+    groups = [f"img{i}" for i in range(10) for _ in range(3)]
+    tr, va = split_indices_grouped(groups, val_fraction=0.3, seed=1)
+    assert len(tr) + len(va) == 30
+    assert not ({groups[i] for i in tr} & {groups[i] for i in va})
+    assert len({groups[i] for i in va}) == 3  # 30% of 10 groups
+
+
 def test_crop_classification_custom_class_order(mvtec_tree):
     from iqc_tpu.data.mvtec import MVTecCropClassificationDataset
 

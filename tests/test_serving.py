@@ -306,6 +306,36 @@ def test_api_key_auth(system):
     status, _ = wsgi_call(auth_app, "GET", "/api/version",
                           headers={"HTTP_X_API_KEY": "wrong"})
     assert status == 401
+    # the CONTROL surface and event feed are protected too (review r3:
+    # auth guarded only /api/*, leaving /realtime + /events + /ws open)
+    status, _ = wsgi_call(auth_app, "POST", "/realtime/start")
+    assert status == 401
+    status, _ = wsgi_call(auth_app, "GET", "/events", query="timeout=0&max=1")
+    assert status == 401
+    status, _ = wsgi_call(auth_app, "POST", "/realtime/start",
+                          headers=env_hdr)
+    assert status == 200
+    wsgi_call(auth_app, "POST", "/realtime/stop", headers=env_hdr)
+    # EventSource cannot set headers: query-param key accepted
+    status, _ = wsgi_call(auth_app, "GET", "/events",
+                          query="timeout=0&max=1&api_key=secret-key-1")
+    assert status == 200
+    # dashboard page stays public (static HTML, no data)
+    status, _ = wsgi_call(auth_app, "GET", "/")
+    assert status == 200
+    # /ws handshake (pre-WSGI dispatch) enforces the key
+    from iqc_tpu.serving.wsgi import serve, ws_connect
+
+    server = serve(auth_app, host="127.0.0.1", port=0, background=True)
+    try:
+        port = server.server_address[1]
+        with pytest.raises(ConnectionError):
+            ws_connect("127.0.0.1", port, "/ws")
+        ws = ws_connect("127.0.0.1", port, "/ws?api_key=secret-key-1")
+        ws.send_json({"event": "ping"})
+        ws.close()
+    finally:
+        server.shutdown()
 
 
 def test_quality_rules_and_assess(app):
