@@ -313,6 +313,33 @@ def test_yolo_freeze_layers_pins_backbone():
     assert max(moved) > 0
 
 
+def test_staged_epoch_with_inbatch_device_mosaic():
+    """device_mosaic + corpus-ineligible dataset: the staged scan applies
+    in-batch device mosaic per step (the scan body is the full streaming
+    step, keyed off state.step)."""
+    import os
+
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.train.train_yolo import YOLOTrainer
+
+    ds = SyntheticDefectDataset(16, 64, 8, seed=0)
+    loader = DetectionLoader(ds, 8, mosaic_prob=0.0, mixup_prob=0.0, seed=9)
+    t = YOLOTrainer({
+        "image_size": 64, "batch_size": 8, "max_boxes": 8, "epochs": 1,
+        "width_mult": 0.125, "reg_max": 8, "compute_dtype": "float32",
+        "warmup_epochs": 0, "device_mosaic": True, "mosaic": 1.0,
+        "ema_decay": 0.9, "checkpoint_dir": "/tmp/iqc_yolo_staged_dm_test",
+    }, mesh_config=MeshConfig(data_parallel=1, model_parallel=1))
+    os.environ["IQC_DEVICE_CORPUS_MB"] = "0"  # force the non-corpus path
+    try:
+        report = t.train(loader, None, epochs=1)
+    finally:
+        del os.environ["IQC_DEVICE_CORPUS_MB"]
+    assert report["epochs_trained"] == 1
+    assert int(t.state.step) == 2
+    assert np.isfinite(report["final"]["train_loss"])
+
+
 def test_frozen_modules_backbone_semantics_both_stems():
     """freeze_layers=10 means 'the whole backbone' on BOTH stem variants
     (the s2d backbone has 9 modules — no down2 — so naive first-10 would
