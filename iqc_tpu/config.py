@@ -17,7 +17,7 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import yaml
 
@@ -256,9 +256,11 @@ class AlertThresholds:
 class AlertsConfig:
     """Reference ``config.yaml:76-97`` — an alerts block the reference
     declares but never implements (no notification code exists in its
-    tree). Webhook delivery is implemented for real here
-    (``iqc_tpu/serving/alerts.py``); email/SMS stay declared-only surface
-    like the reference (credentials pass through, nothing ships them)."""
+    tree). Webhook AND email delivery are implemented for real here
+    (``iqc_tpu/serving/alerts.py``: JSON POST webhooks + stdlib smtplib
+    against the declared ``email`` block — smtp_server/smtp_port/username/
+    recipients, config.yaml:89-95); SMS stays declared-only surface like
+    the reference."""
 
     email_notifications: bool = False
     sms_notifications: bool = False
@@ -269,7 +271,9 @@ class AlertsConfig:
     cooldown_seconds: float = 60.0        # per-rule dedup window
     timeout_seconds: float = 3.0
     retries: int = 2
-    email: Dict[str, Any] = field(default_factory=dict)  # declared-only
+    # SMTP settings (reference config.yaml:89-95); consumed by
+    # serving/alerts.send_email_smtp when email_notifications is on
+    email: Dict[str, Any] = field(default_factory=dict)
 
     def urls(self) -> Tuple[str, ...]:
         out = tuple(self.webhook_urls)
@@ -282,6 +286,96 @@ class AlertsConfig:
             raise ValueError("alert cooldown/timeout must be positive")
         if self.retries < 0:
             raise ValueError("alert retries must be >= 0")
+        if self.email_notifications:
+            if not self.email.get("smtp_server"):
+                raise ValueError(
+                    "email_notifications requires alerts.email.smtp_server")
+            if not self.email.get("recipients"):
+                raise ValueError(
+                    "email_notifications requires alerts.email.recipients")
+            try:
+                int(self.email.get("smtp_port", 587))
+            except (TypeError, ValueError):
+                raise ValueError("alerts.email.smtp_port must be an integer")
+
+
+@dataclass
+class QCSpecificConfig:
+    """Reference ``yolo_config.yaml:204-236`` (qc_specific block) — declared
+    there, never read by any reference code. Implemented for real here:
+
+    - ``confidence_thresholds``: per-class detection confidence floors,
+      vectorized inside the fused decode+NMS kernel (``ops/nms.py``:
+      ``score_threshold`` accepts a traced [C] vector).
+    - ``class_weights``: per-class BCE weights in the YOLO training loss
+      (``train/yolo_loss.py``) for imbalanced defect classes.
+    - ``severity_rules``: per-tier min_confidence / min_area_ratio thresholds
+      threaded as traced scalars into ``detection_severity`` /
+      ``classifier_severity`` (defaults = the reference's hard-coded
+      constants, yolo_model.py:162-172 / resent_model.py:237-255).
+    - ``nms_threshold`` / ``max_detections_per_image``: post-processing
+      overrides (None = inherit ``model.nms_threshold`` / capacity).
+    """
+
+    confidence_thresholds: Dict[str, float] = field(default_factory=dict)
+    class_weights: Dict[str, float] = field(default_factory=dict)
+    nms_threshold: Optional[float] = None
+    max_detections_per_image: Optional[int] = None
+    severity_rules: Dict[str, Dict[str, float]] = field(default_factory=dict)
+
+    def validate(self) -> None:
+        for name, v in self.confidence_thresholds.items():
+            if not 0.0 <= float(v) <= 1.0:
+                raise ValueError(
+                    f"confidence_thresholds[{name!r}] out of range: {v}")
+        for name, v in self.class_weights.items():
+            if float(v) < 0.0:
+                raise ValueError(f"class_weights[{name!r}] must be >= 0: {v}")
+        if self.nms_threshold is not None and not 0.0 <= self.nms_threshold <= 1.0:
+            raise ValueError(f"qc_specific.nms_threshold out of range: {self.nms_threshold}")
+        if (self.max_detections_per_image is not None
+                and self.max_detections_per_image < 1):
+            raise ValueError("max_detections_per_image must be >= 1")
+        for tier, rule in self.severity_rules.items():
+            if tier not in SEVERITY_LEVELS:
+                raise ValueError(f"unknown severity tier {tier!r}")
+            for k in rule:
+                if k not in ("min_confidence", "min_area_ratio"):
+                    raise ValueError(f"unknown severity rule key {k!r}")
+
+    # -- vectorization helpers (device-arg builders) ---------------------------
+
+    def conf_vector(self, defect_classes: Sequence[str],
+                    default: float) -> Optional[List[float]]:
+        """Per-class confidence thresholds as a [C] list (None when the
+        block is empty = keep the scalar threshold). Classes missing from
+        the dict fall back to ``default`` (model.confidence_threshold)."""
+        if not self.confidence_thresholds:
+            return None
+        return [float(self.confidence_thresholds.get(c, default))
+                for c in defect_classes]
+
+    def weight_vector(self, defect_classes: Sequence[str]) -> Optional[List[float]]:
+        """Per-class loss weights as a [C] list (None when empty)."""
+        if not self.class_weights:
+            return None
+        return [float(self.class_weights.get(c, 1.0)) for c in defect_classes]
+
+    def severity_array(self) -> Optional[List[List[float]]]:
+        """[2,2] [[major_conf, major_area_ratio], [critical_conf,
+        critical_area_ratio]] for ``detection_severity`` (None when the
+        block is empty = compiled-in reference constants). Missing keys
+        default to the reference code constants."""
+        if not self.severity_rules:
+            return None
+        major = self.severity_rules.get("major", {})
+        crit = self.severity_rules.get("critical", {})
+        return [
+            [float(major.get("min_confidence", 0.8)),
+             float(major.get("min_area_ratio", 0.05))],
+            [float(crit.get("min_confidence", 0.9)),
+             float(crit.get("min_area_ratio", 0.1))],
+        ]
 
 
 @dataclass
@@ -307,6 +401,7 @@ class SystemConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     alerts: AlertsConfig = field(default_factory=AlertsConfig)
     storage: StorageConfig = field(default_factory=StorageConfig)
+    qc_specific: QCSpecificConfig = field(default_factory=QCSpecificConfig)
     # Uninterpreted passthrough for declared-but-unread reference keys
     # (alerts/email, storage, integrations, security, ...).
     extra: Dict[str, Any] = field(default_factory=dict)
@@ -318,6 +413,7 @@ class SystemConfig:
         self.edge.validate()
         self.alerts.validate()
         self.storage.validate()
+        self.qc_specific.validate()
         return self
 
     # ---- dict round-tripping -------------------------------------------------
@@ -334,6 +430,7 @@ class SystemConfig:
         mesh_raw = dict(raw.pop("mesh", {}))
         alerts_raw = dict(raw.pop("alerts", {}))
         storage_raw = dict(raw.pop("storage", {}))
+        qc_spec_raw = dict(raw.pop("qc_specific", {}) or {})
 
         if "resnet_stages" in model_raw:
             model_raw["resnet_stages"] = tuple(model_raw["resnet_stages"])
@@ -428,6 +525,7 @@ class SystemConfig:
             mesh=_build(MeshConfig, mesh_raw),
             alerts=alerts,
             storage=_build(StorageConfig, storage_raw),
+            qc_specific=_build(QCSpecificConfig, qc_spec_raw),
             extra=raw,
         )
         return cfg.validate()

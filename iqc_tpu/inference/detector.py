@@ -370,6 +370,9 @@ class QualityControlDetector:
         self.ensemble_predictor.confidence_threshold = m.confidence_threshold
         self.ensemble_predictor.nms_threshold = m.nms_threshold
         self.ensemble_predictor.ensemble_weights = dict(m.ensemble_weights)
+        # qc_specific (per-class thresholds / severity rules) reads live
+        # from the predictor's config in _args — keep it the same object
+        self.ensemble_predictor.config = self.config
 
     # -- benchmark (detector.py:331-395) --------------------------------------------
 

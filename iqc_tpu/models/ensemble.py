@@ -96,7 +96,11 @@ def build_ensemble_forward(
         yolo_apply = lambda v, xx: yolo.apply(v, xx, train=False)
 
     def forward(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,
-                anchors, strides):
+                anchors, strides, sev_rules=None):
+        # conf_t: traced scalar, or a traced [C] vector of per-class floors
+        # (qc_specific.confidence_thresholds — ops/nms.batched_nms).
+        # sev_rules: optional traced [2,2] severity-rule thresholds
+        # (qc_specific.severity_rules); None compiles reference constants.
         x = imops.to_float(images)
         if x.shape[1:3] != tuple(input_size):
             x = imops.resize_bilinear(x, input_size)
@@ -111,7 +115,7 @@ def build_ensemble_forward(
             box_voting=box_voting,  # merge-NMS: +0.026 mAP50-95 (RESULTS.md)
         )
         areas = box_area(det.boxes)
-        yolo_sev = detection_severity(det.scores, areas)
+        yolo_sev = detection_severity(det.scores, areas, sev_rules)
 
         # --- whole-image classification (reference's parallel ResNet branch) ---
         ci = classifier_input
@@ -136,7 +140,7 @@ def build_ensemble_forward(
         crop_probs = crop_probs.reshape(b, kc, -1)
         cc_conf = jnp.max(crop_probs, axis=-1)
         cc_class = jnp.argmax(crop_probs, axis=-1).astype(jnp.int32)
-        cc_sev = classifier_severity(cc_class, cc_conf)
+        cc_sev = classifier_severity(cc_class, cc_conf, sev_rules)
 
         # pad crop outputs back to K; beyond-Kc slots use the reference's
         # mock refinement rule (conf*1.1 capped, same class/severity —
@@ -217,10 +221,10 @@ def build_full_forward(
     s = max_segmented
 
     def forward(yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,
-                anchors, strides):
+                anchors, strides, sev_rules=None):
         out = ens_fwd(
             yolo_vars, resnet_vars, images, conf_t, iou_t, w_yolo, w_resnet,
-            anchors, strides,
+            anchors, strides, sev_rules,
         )
         x = imops.to_float(images)
         if x.shape[1:3] != tuple(input_size):
@@ -558,21 +562,43 @@ class EnsemblePredictor:
 
     def _args(self, images):
         # scalar thresholds/weights cached as device arrays: every fresh
-        # host->device upload costs a tunnel round trip (~30 ms)
+        # host->device upload costs a tunnel round trip (~30 ms).
+        # qc_specific overrides (reference yolo_config.yaml:204-236):
+        # per-class confidence floors ride as a traced [C] vector in the
+        # conf_t slot; severity rules as a trailing [2,2] traced arg;
+        # qc_specific.nms_threshold (0.45 declared) beats model.nms_threshold.
+        qc = self.config.qc_specific
+        conf_vec = qc.conf_vector(self.class_names, self.confidence_threshold)
+        sev = qc.severity_array()
+        nms_t = (qc.nms_threshold if qc.nms_threshold is not None
+                 else self.nms_threshold)
         key = (
-            self.confidence_threshold, self.nms_threshold,
+            self.confidence_threshold, nms_t,
             self.ensemble_weights["yolo"], self.ensemble_weights["resnet"],
+            tuple(conf_vec) if conf_vec else None,
+            tuple(map(tuple, sev)) if sev else None,
         )
         cached = getattr(self, "_scalar_cache", None)
         if cached is None or cached[0] != key:
-            vals = tuple(jax.device_put(jnp.float32(v)) for v in key)
-            cached = (key, vals)
+            conf_t = jax.device_put(
+                jnp.asarray(conf_vec, jnp.float32) if conf_vec
+                else jnp.float32(self.confidence_threshold)
+            )
+            iou_t, w_y, w_r = (
+                jax.device_put(jnp.float32(v)) for v in key[1:4]
+            )
+            sev_dev = (jax.device_put(jnp.asarray(sev, jnp.float32))
+                       if sev else None)
+            cached = (key, (conf_t, iou_t, w_y, w_r, sev_dev))
             self._scalar_cache = cached
-        conf_t, iou_t, w_y, w_r = cached[1]
-        return (
+        conf_t, iou_t, w_y, w_r, sev_dev = cached[1]
+        base = (
             self.yolo_vars, self.resnet_vars, jnp.asarray(images),
             conf_t, iou_t, w_y, w_r, self._anchors, self._strides,
         )
+        # severity rules append only when configured: the default call
+        # signature (and its compiled executable) is unchanged
+        return base + (sev_dev,) if sev_dev is not None else base
 
     def run(self, images) -> EnsembleOutputs:
         """Raw fused-graph call on a [B,H,W,3] batch (device arrays out).
@@ -683,7 +709,11 @@ class EnsemblePredictor:
         sy = image_shape[0] / self.input_size[0]
         sx = image_shape[1] / self.input_size[1]
         detections = []
-        for j in range(len(o.valid)):
+        # qc_specific.max_detections_per_image (yolo_config.yaml:224):
+        # survivors are score-sorted, so a host-side cap keeps the best
+        cap = self.config.qc_specific.max_detections_per_image
+        limit = min(len(o.valid), cap) if cap else len(o.valid)
+        for j in range(limit):
             if not o.valid[j]:
                 break
             x1, y1, x2, y2 = o.boxes[j]
@@ -720,7 +750,15 @@ class EnsemblePredictor:
                 }
             )
 
-        n_minor, n_major, n_crit = (int(c) for c in o.severity_counts)
+        if cap and len(detections) == limit and n_valid > limit:
+            # cap truncated the list: recount severities over what we report
+            # so quality grading stays consistent with the detections field
+            sev_kept = o.final_severity[:limit]
+            n_minor, n_major, n_crit = (
+                int(np.sum(sev_kept == s)) for s in (0, 1, 2)
+            )
+        else:
+            n_minor, n_major, n_crit = (int(c) for c in o.severity_counts)
         global_conf = float(np.max(o.global_probs))
         global_cls = int(np.argmax(o.global_probs))
         return {

@@ -111,18 +111,30 @@ MAJOR_CLASS_IDS = (1, 3)
 SEV_MINOR, SEV_MAJOR, SEV_CRITICAL = 0, 1, 2
 
 
-def classifier_severity(class_ids: jnp.ndarray, confidences: jnp.ndarray) -> jnp.ndarray:
+def classifier_severity(class_ids: jnp.ndarray, confidences: jnp.ndarray,
+                        rules=None) -> jnp.ndarray:
     """Vectorized class+confidence -> severity {0,1,2} (resent_model.py:237-255).
 
     Scalar comparisons instead of isin-with-table: no array literal may be
     embedded in the executable (see ops/jit_utils.py).
+
+    ``rules``: optional traced [2,2] severity-rules array (same layout as
+    ``detection_severity``; qc_specific.severity_rules). The confidence
+    columns replace the tier thresholds: major tier uses rules[0,0]
+    (reference constant 0.6 — the declared major.min_confidence default),
+    critical tier rules[1,0] (reference constant 0.8). Area columns are
+    ignored (the classifier has no box).
     """
+    if rules is None:
+        major_c, crit_c = 0.6, 0.8
+    else:
+        major_c, crit_c = rules[0, 0], rules[1, 0]
     is_crit_class = (class_ids == 0) | (class_ids == 2)   # crack, dent
     is_major_class = (class_ids == 1) | (class_ids == 3)  # scratch, discoloration
     sev = jnp.full(class_ids.shape, SEV_MINOR, dtype=jnp.int32)
-    sev = jnp.where(is_major_class & (confidences > 0.8), SEV_MAJOR, sev)
-    sev = jnp.where(is_crit_class & (confidences > 0.6), SEV_MAJOR, sev)
-    sev = jnp.where(is_crit_class & (confidences > 0.8), SEV_CRITICAL, sev)
+    sev = jnp.where(is_major_class & (confidences > crit_c), SEV_MAJOR, sev)
+    sev = jnp.where(is_crit_class & (confidences > major_c), SEV_MAJOR, sev)
+    sev = jnp.where(is_crit_class & (confidences > crit_c), SEV_CRITICAL, sev)
     return sev
 
 

@@ -17,7 +17,7 @@ and normalized-area thresholds, vectorized on device.
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -253,13 +253,26 @@ def feature_shapes(input_size: Tuple[int, int]) -> List[Tuple[int, int]]:
 SEV_MINOR, SEV_MAJOR, SEV_CRITICAL = 0, 1, 2
 
 
-def detection_severity(confidences: jnp.ndarray, areas: jnp.ndarray) -> jnp.ndarray:
+def detection_severity(confidences: jnp.ndarray, areas: jnp.ndarray,
+                       rules: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """conf/area -> severity {0,1,2}; area normalized by 1024^2 as the
-    reference does regardless of true image size (yolo_model.py:164-165)."""
+    reference does regardless of true image size (yolo_model.py:164-165).
+
+    ``rules``: optional traced [2,2] array
+    [[major_min_conf, major_min_area_ratio],
+     [critical_min_conf, critical_min_area_ratio]] — the reference's
+    declared-but-never-read ``qc_specific.severity_rules`` block
+    (yolo_config.yaml:226-236; build via QCSpecificConfig.severity_array).
+    None compiles the reference code constants (0.8/0.05, 0.9/0.1)."""
     norm_area = areas / float(1024 * 1024)
+    if rules is None:
+        major_c, major_a, crit_c, crit_a = 0.8, 0.05, 0.9, 0.1
+    else:
+        major_c, major_a = rules[0, 0], rules[0, 1]
+        crit_c, crit_a = rules[1, 0], rules[1, 1]
     sev = jnp.full(confidences.shape, SEV_MINOR, dtype=jnp.int32)
-    sev = jnp.where((confidences > 0.8) | (norm_area > 0.05), SEV_MAJOR, sev)
-    sev = jnp.where((confidences > 0.9) | (norm_area > 0.1), SEV_CRITICAL, sev)
+    sev = jnp.where((confidences > major_c) | (norm_area > major_a), SEV_MAJOR, sev)
+    sev = jnp.where((confidences > crit_c) | (norm_area > crit_a), SEV_CRITICAL, sev)
     return sev
 
 
@@ -286,10 +299,25 @@ class YOLODetector:
         seed: int = 0,
         stem_mode: str = "conv",
         box_voting: bool = True,
+        class_conf_thresholds: Optional[Sequence[float]] = None,
+        severity_rules: Optional[Sequence[Sequence[float]]] = None,
     ):
+        # class_conf_thresholds: per-class confidence floors ([C], replaces
+        # the scalar threshold — qc_specific.confidence_thresholds, see
+        # QCSpecificConfig.conf_vector). severity_rules: [2,2] tier
+        # thresholds (QCSpecificConfig.severity_array); None = reference
+        # constants compiled in.
         self.model_path = model_path
         self.box_voting = bool(box_voting)
         self.confidence_threshold = confidence_threshold
+        self.class_conf_thresholds = (
+            None if class_conf_thresholds is None
+            else [float(v) for v in class_conf_thresholds]
+        )
+        self._sev_rules = (
+            None if severity_rules is None
+            else jax.device_put(jnp.asarray(severity_rules, jnp.float32))
+        )
         self.nms_threshold = nms_threshold
         self.input_size = tuple(input_size)
         self.max_detections = max_detections
@@ -303,7 +331,8 @@ class YOLODetector:
         self._anchors = jax.device_put(anchors)
         self._strides = jax.device_put(strides)
 
-        def _forward(variables, images, conf_t, iou_t, anchors, strides):
+        def _forward(variables, images, conf_t, iou_t, anchors, strides,
+                     sev_rules=None):
             x = imops.to_float(images)
             if x.shape[1:3] != self.input_size:
                 x = imops.resize_bilinear(x, self.input_size)
@@ -318,15 +347,20 @@ class YOLODetector:
             from iqc_tpu.ops.boxes import box_area
 
             areas = box_area(det.boxes)
-            sev = detection_severity(det.scores, areas)
+            sev = detection_severity(det.scores, areas, sev_rules)
             return det, areas, sev
 
         from iqc_tpu.ops.jit_utils import hoisted_jit
 
         self._forward_fn = hoisted_jit(_forward)
-        self._forward = lambda v, im, c, i: self._forward_fn(
-            v, im, c, i, self._anchors, self._strides
-        )
+
+        def _call(v, im, c, i):
+            args = (v, im, c, i, self._anchors, self._strides)
+            if self._sev_rules is not None:
+                args += (self._sev_rules,)
+            return self._forward_fn(*args)
+
+        self._forward = _call
 
     def _load_or_init(self, seed: int):
         from iqc_tpu.train.checkpoint import try_load_variables
@@ -339,6 +373,13 @@ class YOLODetector:
                 return loaded
         return init_vars
 
+    def _conf_value(self):
+        """Traced threshold arg: a [C] per-class vector when qc_specific
+        confidence_thresholds are configured, else the scalar."""
+        if self.class_conf_thresholds is not None:
+            return jnp.asarray(self.class_conf_thresholds, jnp.float32)
+        return jnp.float32(self.confidence_threshold)
+
     # -- reference-parity API ------------------------------------------------
 
     def predict(self, image: np.ndarray) -> Dict:
@@ -346,7 +387,7 @@ class YOLODetector:
         img = np.asarray(image)
         det, areas, sev = self._forward(
             self.variables, jnp.asarray(img)[None],
-            jnp.float32(self.confidence_threshold), jnp.float32(self.nms_threshold),
+            self._conf_value(), jnp.float32(self.nms_threshold),
         )
         dt = (time.perf_counter() - t0) * 1000
         dets = self.parse_detections(
@@ -399,7 +440,7 @@ class YOLODetector:
         batch = jnp.stack([jnp.asarray(im) for im in images])
         det, areas, sev = self._forward(
             self.variables, batch,
-            jnp.float32(self.confidence_threshold), jnp.float32(self.nms_threshold),
+            self._conf_value(), jnp.float32(self.nms_threshold),
         )
         # ONE bulk fetch: per-image device slicing costs a dispatch + fetch
         # round trip per array (~120 ms each over the tunnel)

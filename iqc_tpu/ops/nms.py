@@ -244,10 +244,31 @@ def batched_nms(
     boxes [B,A,4]; scores_all [B,A,C] per-class scores (post-sigmoid).
     Uses the max-class score per anchor (Ultralytics multi_label=False
     semantics, the mode the reference runs).
+
+    ``score_threshold`` may be a scalar OR a traced [C] vector — the
+    per-class confidence floors the reference declares but never reads
+    (``qc_specific.confidence_thresholds``, yolo_config.yaml:206-212).
+    With a vector, each anchor is gated by its argmax class's threshold,
+    selected through a one-hot masked sum (no data-dependent gather —
+    CLAUDE.md rule 4).
     """
     scores = jnp.max(scores_all, axis=-1)
     classes = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
-    mask = jnp.ones(scores.shape, dtype=bool)
+    thr = jnp.asarray(score_threshold)
+    if thr.ndim == 1:
+        c = scores_all.shape[-1]
+        sel = classes[..., None] == lax.broadcasted_iota(
+            jnp.int32, (*classes.shape, c), classes.ndim
+        )
+        per_anchor_thr = jnp.sum(
+            jnp.where(sel, thr.astype(scores.dtype)[None, None, :], 0.0), axis=-1
+        )
+        mask = scores > per_anchor_thr
+        # sigmoid scores are strictly positive, so a 0.0 scalar floor keeps
+        # nms_single's `scores > score_threshold` a no-op under the mask
+        score_threshold = jnp.zeros((), scores.dtype)
+    else:
+        mask = jnp.ones(scores.shape, dtype=bool)
 
     fn = lambda b, s, c, m: nms_single(
         b, s, c, m,
@@ -280,6 +301,8 @@ def decode_and_nms(
     One XLA program, no host round-trip between the YOLO head and the
     detection set (BASELINE north-star requirement).
     dist_logits [B,A,4*reg_max]; cls_logits [B,A,C].
+    ``score_threshold``: traced scalar, or a traced [C] vector of per-class
+    confidence floors (qc_specific.confidence_thresholds — see batched_nms).
     """
     boxes = decode_boxes(dist_logits, anchor_points, strides, reg_max)
     scores_all = jax.nn.sigmoid(cls_logits.astype(jnp.float32))

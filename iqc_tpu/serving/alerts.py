@@ -1,22 +1,25 @@
-"""Alert delivery: webhook notifications + per-image threshold rules.
+"""Alert delivery: webhook + email notifications + per-image threshold rules.
 
 The reference declares a full alerts block — email/SMS/webhook switches,
-thresholds, and a webhook URL (``/root/reference/config/config.yaml:76-97``)
-— but ships no notification code at all; its only alert surface is the
-SPC analyzer's in-process alert list (``sec_analysis.py:382-426``) pushed
-to the dashboard over Socket.IO. Here the declared surface is implemented:
+thresholds, SMTP settings, and a webhook URL
+(``/root/reference/config/config.yaml:76-97``) — but ships no notification
+code at all; its only alert surface is the SPC analyzer's in-process alert
+list (``sec_analysis.py:382-426``) pushed to the dashboard over Socket.IO.
+Here the declared surface is implemented:
 
 - :func:`threshold_alerts` evaluates the reference's ``alerts.thresholds``
   rules (critical_defects / major_defects / low_confidence per image,
   high_defect_rate over the SPC window) against a prediction result.
-- :class:`AlertDispatcher` delivers alerts to configured webhook URLs from
-  a background thread (JSON POST, bounded retries, timeout), with a
-  per-rule cooldown so a stuck production line cannot flood the sink.
-  Email/SMS remain declared-only, matching the reference's actual
-  behavior — the config passes through untouched.
+- :class:`AlertDispatcher` delivers alerts to configured webhook URLs and,
+  when ``email_notifications`` is on, over SMTP (stdlib ``smtplib``,
+  reference ``alerts.email`` block: smtp_server/smtp_port/username/
+  recipients — config.yaml:89-95) from a background thread (bounded
+  retries, timeout), with a per-rule cooldown shared across transports so
+  a stuck production line cannot flood the sinks. SMS remains
+  declared-only, matching the reference's actual behavior.
 
-Counters (submitted/suppressed/sent/failed) surface on the Prometheus
-exporter (``serving/metrics.py``).
+Counters (submitted/suppressed/sent/failed/email_sent/email_failed)
+surface on the Prometheus exporter (``serving/metrics.py``).
 """
 
 from __future__ import annotations
@@ -24,9 +27,11 @@ from __future__ import annotations
 import json
 import logging
 import queue
+import smtplib
 import threading
 import time
 import urllib.request
+from email.message import EmailMessage
 from typing import Callable, Dict, List, Optional
 
 from iqc_tpu.config import AlertsConfig, AlertThresholds
@@ -34,6 +39,39 @@ from iqc_tpu.config import AlertsConfig, AlertThresholds
 logger = logging.getLogger(__name__)
 
 Sender = Callable[[str, bytes, Dict[str, str], float], int]
+# email transport: (settings dict, subject, body, timeout) -> None (raises
+# on delivery failure)
+EmailSender = Callable[[Dict, str, str, float], None]
+
+
+def send_email_smtp(settings: Dict, subject: str, body: str,
+                    timeout: float) -> None:
+    """Default SMTP transport for the reference ``alerts.email`` block
+    (config.yaml:89-95: smtp_server, smtp_port, username, recipients;
+    extensions: ``password`` triggers LOGIN auth, ``use_tls`` STARTTLS,
+    ``from`` overrides the sender address)."""
+    msg = EmailMessage()
+    msg["Subject"] = subject
+    msg["From"] = str(settings.get("from") or settings.get("username")
+                      or "iqc-tpu@localhost")
+    recipients = [str(r) for r in settings.get("recipients") or ()]
+    msg["To"] = ", ".join(recipients)
+    msg.set_content(body)
+    with smtplib.SMTP(str(settings["smtp_server"]),
+                      int(settings.get("smtp_port", 587)),
+                      timeout=timeout) as smtp:
+        if settings.get("use_tls"):
+            smtp.starttls()
+        if settings.get("password"):
+            smtp.login(str(settings.get("username", "")),
+                       str(settings["password"]))
+        smtp.send_message(msg)
+
+
+def email_settings_ok(settings: Dict) -> bool:
+    """True when the email block names a server and at least one recipient."""
+    return bool(settings and settings.get("smtp_server")
+                and settings.get("recipients"))
 
 
 def _default_sender(url: str, body: bytes, headers: Dict[str, str],
@@ -108,21 +146,33 @@ class AlertDispatcher:
 
     def __init__(self, config: AlertsConfig, sender: Optional[Sender] = None,
                  clock: Callable[[], float] = time.monotonic,
-                 max_queue: int = 256):
+                 max_queue: int = 256,
+                 email_sender: Optional[EmailSender] = None):
         self.config = config
         self._sender = sender or _default_sender
+        self._email_sender = email_sender or send_email_smtp
         self._clock = clock
         self._queue: queue.Queue = queue.Queue(max_queue)
         self._last_sent: Dict[str, float] = {}
         self._lock = threading.Lock()
         self.stats = {"submitted": 0, "suppressed": 0, "sent": 0,
-                      "failed": 0, "dropped": 0}
+                      "failed": 0, "dropped": 0,
+                      "email_sent": 0, "email_failed": 0}
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
     @property
-    def enabled(self) -> bool:
+    def webhooks_enabled(self) -> bool:
         return bool(self.config.webhook_notifications and self.config.urls())
+
+    @property
+    def email_enabled(self) -> bool:
+        return bool(self.config.email_notifications
+                    and email_settings_ok(self.config.email))
+
+    @property
+    def enabled(self) -> bool:
+        return self.webhooks_enabled or self.email_enabled
 
     # -- intake -----------------------------------------------------------------
 
@@ -178,22 +228,46 @@ class AlertDispatcher:
         body = json.dumps({"source": "iqc_tpu", "alert": alert},
                           default=str).encode()
         headers = {"Content-Type": "application/json"}
-        for url in self.config.urls():
-            ok = False
-            for attempt in range(self.config.retries + 1):
-                try:
-                    status = self._sender(url, body, headers,
-                                          self.config.timeout_seconds)
-                    if 200 <= status < 300:
-                        ok = True
-                        break
-                    logger.warning("webhook %s returned %d (attempt %d)",
-                                   url, status, attempt + 1)
-                except Exception as e:  # network errors must never propagate
-                    logger.warning("webhook %s failed: %s (attempt %d)",
-                                   url, e, attempt + 1)
-            with self._lock:
-                self.stats["sent" if ok else "failed"] += 1
+        if self.webhooks_enabled:
+            for url in self.config.urls():
+                ok = False
+                for attempt in range(self.config.retries + 1):
+                    try:
+                        status = self._sender(url, body, headers,
+                                              self.config.timeout_seconds)
+                        if 200 <= status < 300:
+                            ok = True
+                            break
+                        logger.warning("webhook %s returned %d (attempt %d)",
+                                       url, status, attempt + 1)
+                    except Exception as e:  # network errors must never propagate
+                        logger.warning("webhook %s failed: %s (attempt %d)",
+                                       url, e, attempt + 1)
+                with self._lock:
+                    self.stats["sent" if ok else "failed"] += 1
+        if self.email_enabled:
+            self._deliver_email(alert)
+
+    def _deliver_email(self, alert: Dict) -> None:
+        """SMTP delivery of one alert (reference alerts.email block)."""
+        severity = str(alert.get("severity", "info")).upper()
+        rule = alert.get("rule", alert.get("metric", "alert"))
+        subject = f"[IQC {severity}] {rule}"
+        body = (f"{alert.get('message', '')}\n\n"
+                + json.dumps({"source": "iqc_tpu", "alert": alert},
+                             default=str, indent=1))
+        ok = False
+        for attempt in range(self.config.retries + 1):
+            try:
+                self._email_sender(dict(self.config.email), subject, body,
+                                   self.config.timeout_seconds)
+                ok = True
+                break
+            except Exception as e:  # SMTP errors must never propagate
+                logger.warning("email alert failed: %s (attempt %d)",
+                               e, attempt + 1)
+        with self._lock:
+            self.stats["email_sent" if ok else "email_failed"] += 1
 
     # -- lifecycle ---------------------------------------------------------------
 

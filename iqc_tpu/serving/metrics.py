@@ -58,6 +58,8 @@ def render_metrics(system) -> str:
             ("sent", "Alerts delivered to a webhook sink"),
             ("failed", "Alerts that exhausted webhook retries"),
             ("dropped", "Alerts dropped by a full dispatch queue"),
+            ("email_sent", "Alerts delivered over SMTP"),
+            ("email_failed", "Alerts that exhausted SMTP retries"),
         ):
             metric(f"iqc_alerts_{key}_total", "counter", help_text,
                    dispatcher.stats.get(key, 0))

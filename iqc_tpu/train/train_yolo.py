@@ -51,6 +51,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "box_gain": 7.5,
     "cls_gain": 0.5,
     "dfl_gain": 1.5,
+    # per-class BCE weights for imbalanced defect classes — the reference's
+    # declared-but-unread qc_specific.class_weights block
+    # (yolo_config.yaml:214-220). Dict {class_name: w} or [C] list; None =
+    # unweighted. Threaded as a runtime arg into yolo_loss.
+    "class_weights": None,
     "mosaic": 1.0,
     "mixup": 0.0,
     "device_mosaic": True,   # in-batch mosaic/mixup on device (ops/mosaic.py)
@@ -189,6 +194,22 @@ class YOLOTrainer:
         reg_max = c["reg_max"]
         ema_decay = c["ema_decay"]
 
+        # per-class BCE weights (qc_specific.class_weights); ones = neutral.
+        # Always passed as a runtime arg so configured weights never embed
+        # an array constant in the executable (ops/jit_utils.py).
+        cw = c.get("class_weights")
+        if isinstance(cw, dict):
+            from iqc_tpu.config import DEFECT_CLASSES
+
+            names = list(DEFECT_CLASSES)[: c["num_classes"]]
+            cw = [float(cw.get(n, 1.0)) for n in names]
+        self._class_weights = np.ones(c["num_classes"], np.float32) if cw is None \
+            else np.asarray(cw, np.float32)
+        if self._class_weights.shape != (c["num_classes"],):
+            raise ValueError(
+                f"class_weights must have {c['num_classes']} entries, got "
+                f"{self._class_weights.shape}")
+
         # anchors/strides as runtime args (ops/jit_utils.py: embedded array
         # constants are pathological on the tunnel TPU backend)
         use_dev_mosaic = self.uses_device_mosaic and (
@@ -198,7 +219,8 @@ class YOLOTrainer:
         mosaic_aa = bool(c.get("mosaic_antialias", False))
 
         def make_step(apply_inbatch_mosaic: bool):
-          def step(state, ema, images, boxes, classes, valid, anchors, strides):
+          def step(state, ema, images, boxes, classes, valid, anchors, strides,
+                   cls_w):
             # uint8 batches scale on device: host .astype(f32)/255 quadruples
             # the host->device transfer (the dominant per-step cost over the
             # tunnel); float inputs pass through for backward compat
@@ -230,7 +252,7 @@ class YOLOTrainer:
                 )
                 total, parts = yolo_loss(
                     dist, cls, anchors, strides, boxes, classes, valid,
-                    reg_max, loss_cfg,
+                    reg_max, loss_cfg, class_weights=cls_w,
                 )
                 return total, (parts, updates["batch_stats"])
 
@@ -267,6 +289,8 @@ class YOLOTrainer:
 
         anchors_r = replicate(self.mesh, self.anchors)
         strides_r = replicate(self.mesh, self.strides)
+        cls_w_r = replicate(self.mesh, jnp.asarray(self._class_weights))
+        self._cls_w_r = cls_w_r
         if self.mesh.mesh.size == 1:
             # plain jit on single-device meshes: the GSPMD sharding pipeline
             # inflates this compile ~15x on the tunnel backend (train/steps.py).
@@ -287,16 +311,16 @@ class YOLOTrainer:
                 if fn is None:
                     specs = batch_specs(arrs)
 
-                    def packed_step(state, ema_, buf, anchors, strides):
+                    def packed_step(state, ema_, buf, anchors, strides, cls_w):
                         im_, bx_, cl_, vl_ = unpack_batch_device(buf, specs)
                         return step(state, ema_, im_, bx_, cl_, vl_,
-                                    anchors, strides)
+                                    anchors, strides, cls_w)
 
                     fn = _compiled[key] = jax.jit(
                         packed_step, donate_argnums=(0, 1)
                     )
                 buf = jnp.asarray(pack_batch_host(arrs))
-                return fn(st, ema, buf, anchors_r, strides_r)
+                return fn(st, ema, buf, anchors_r, strides_r, cls_w_r)
 
             self._train_step = run
 
@@ -307,7 +331,7 @@ class YOLOTrainer:
             # computes in ~100 ms — a scanned epoch over a corpus already in
             # HBM removes both.
             def epoch_fn(state, ema, imgs, bxs, cls_, vld, idx_mat,
-                         anchors, strides):
+                         anchors, strides, cls_w):
                 from iqc_tpu.ops.mosaic import mixup_batch, mosaic_from_corpus
 
                 def body(carry, idx_row):
@@ -334,7 +358,7 @@ class YOLOTrainer:
                             cls_[idx_row], vld[idx_row],
                         )
                     st_, ema_, parts = step_core(
-                        st_, ema_, b_i, b_b, b_c, b_v, anchors, strides,
+                        st_, ema_, b_i, b_b, b_c, b_v, anchors, strides, cls_w,
                     )
                     return (st_, ema_), parts
 
@@ -366,14 +390,15 @@ class YOLOTrainer:
                 if fn is None:
                     specs = batch_specs(arrs)
 
-                    def staged_epoch(state, ema_, buf, anchors, strides):
+                    def staged_epoch(state, ema_, buf, anchors, strides, cls_w):
                         im, bx, cl, vl = unpack_batch_device(buf, specs)
 
                         def body(carry, xs):
                             st_, em_ = carry
                             b_i, b_b, b_c, b_v = xs
                             st_, em_, parts = step(
-                                st_, em_, b_i, b_b, b_c, b_v, anchors, strides
+                                st_, em_, b_i, b_b, b_c, b_v, anchors, strides,
+                                cls_w,
                             )
                             return (st_, em_), parts
 
@@ -386,7 +411,7 @@ class YOLOTrainer:
                         staged_epoch, donate_argnums=(0, 1)
                     )
                 buf = jnp.asarray(pack_batch_host(arrs))
-                return fn(st, ema, buf, anchors_r, strides_r)
+                return fn(st, ema, buf, anchors_r, strides_r, cls_w_r)
 
             self._staged_run = staged_run
         else:
@@ -397,13 +422,13 @@ class YOLOTrainer:
             self._train_step_fn = jax.jit(
                 step,
                 in_shardings=(repl, repl, batch_sh, batch_sh, batch_sh, batch_sh,
-                              repl, repl),
+                              repl, repl, repl),
                 out_shardings=(repl, repl, repl),
                 donate_argnums=(0, 1),
             )
             self._train_step = lambda st, ema, im, bx, cl, vl: self._train_step_fn(
                 st, ema, jnp.asarray(im), jnp.asarray(bx), jnp.asarray(cl),
-                jnp.asarray(vl), anchors_r, strides_r
+                jnp.asarray(vl), anchors_r, strides_r, cls_w_r
             )
 
         from iqc_tpu.ops.jit_utils import hoisted_jit
@@ -566,6 +591,7 @@ class YOLOTrainer:
                 self.state, self.ema_params, parts_t = self._epoch_fn(
                     self.state, self.ema_params, *corpus,
                     jnp.asarray(idx), self._anchors_r, self._strides_r,
+                    self._cls_w_r,
                 )
                 mean = {k: float(jnp.mean(v)) for k, v in parts_t.items()}
             else:
@@ -733,6 +759,11 @@ def main() -> None:  # pragma: no cover
         with open(args.config) as f:
             raw = yaml.safe_load(f) or {}
         config = raw.get("training", raw)
+        # qc_specific.class_weights (reference yolo_config.yaml:214-220)
+        # feeds the per-class BCE weighting in yolo_loss
+        qc = raw.get("qc_specific") or {}
+        if qc.get("class_weights") and not config.get("class_weights"):
+            config["class_weights"] = qc["class_weights"]
     if args.epochs:
         config["epochs"] = args.epochs
 

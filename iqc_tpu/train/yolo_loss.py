@@ -17,7 +17,7 @@ pure, fully-vectorized function over fixed-capacity padded targets:
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -172,8 +172,17 @@ def yolo_loss(
     gt_valid: jnp.ndarray,     # [B,M]
     reg_max: int,
     cfg: YoloLossConfig = YoloLossConfig(),
+    class_weights: Optional[jnp.ndarray] = None,  # [C] traced (qc_specific)
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Total loss (scalar) + per-term metrics, fully batched."""
+    """Total loss (scalar) + per-term metrics, fully batched.
+
+    ``class_weights``: optional traced [C] per-class BCE weights — the
+    reference's declared-but-unread ``qc_specific.class_weights`` block
+    (yolo_config.yaml:214-220, for imbalanced defect classes). Each class
+    column of the classification BCE is scaled by its weight (both the
+    positive soft-target term and the negatives pushing that class down);
+    box/DFL terms are unweighted. Pass as a runtime argument, never a
+    closed-over constant (ops/jit_utils.py). None = unweighted."""
     from iqc_tpu.ops.nms import decode_boxes
 
     pred_boxes = decode_boxes(dist_logits, anchors, strides, reg_max)  # [B,A,4]
@@ -195,6 +204,8 @@ def yolo_loss(
     onehot = jax.nn.one_hot(assign["target_class"], c) * tgt_score[..., None]
     logits32 = cls_logits.astype(jnp.float32)
     bce = optax_sigmoid_bce(logits32, onehot)
+    if class_weights is not None:
+        bce = bce * class_weights.astype(jnp.float32)[None, None, :]
     cls_l = jnp.sum(bce) / n_fg
 
     # --- box: CIoU on foreground, weighted by target score --------------------

@@ -13,7 +13,10 @@ Stages:
   segmentation   per-ROI segmentation kernels
   full           the complete fused graph (bench.py's subject)
 
-Run on TPU: python scripts/profile_stages.py  (env: BATCH, ITERS, TRIALS)
+Run on TPU: python scripts/profile_stages.py  (env: BATCH, ITERS, TRIALS).
+The shipped serving profile (config/config.yaml: int8 classifier + int8
+YOLO + 128px crops) is profiled with PRECISION=int8 YOLO_INT8=1
+CLS_INPUT=128 — the same knobs bench.py reads as BENCH_*.
 """
 
 import functools
@@ -80,9 +83,38 @@ def main() -> None:
                   stem_mode=os.environ.get("STEM", "conv"))
     resnet = ResNet50(num_classes=m.num_classes, dtype=dtype)
     rng = jax.random.PRNGKey(0)
+    ci = int(os.environ.get("CLS_INPUT", "224"))
     yolo_vars = yolo.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32), train=False)
-    resnet_vars = resnet.init(rng, jnp.zeros((1, 224, 224, 3), jnp.float32), train=False)
+    resnet_vars = resnet.init(rng, jnp.zeros((1, ci, ci, 3), jnp.float32), train=False)
     anchors, strides = make_anchors(feature_shapes((640, 640)), STRIDES)
+
+    # int8 variants (mirrors bench.py's BENCH_PRECISION / BENCH_YOLO_INT8)
+    resnet_apply = None
+    if os.environ.get("PRECISION", "bf16") == "int8":
+        from iqc_tpu.models import resnet_int8
+
+        q = resnet_int8.quantize_resnet(resnet_vars)
+        cal = jax.random.normal(rng, (16, ci, ci, 3), jnp.float32)
+        scales = resnet_int8.calibrate_activation_scales(q, [cal])
+        resnet_vars = {"q": jax.device_put(q), "scales": jax.device_put(scales)}
+        resnet_apply = lambda v, xx: resnet_int8.apply(
+            v["q"], xx, act_scales=v["scales"])
+
+    yolo_apply = None
+    if os.environ.get("YOLO_INT8", "0") == "1":
+        from iqc_tpu.models import yolo_int8
+
+        yq = yolo_int8.quantize_yolo(yolo_vars, stem_mode=yolo.stem_mode)
+        ycal = jax.random.uniform(rng, (4, 640, 640, 3), jnp.float32)
+        yscales = yolo_int8.calibrate_activation_scales(
+            yq, [ycal], reg_max=yolo.reg_max, num_classes=m.num_classes)
+        yolo_vars = {"q": jax.device_put(yq), "scales": jax.device_put(yscales)}
+        yolo_apply = lambda v, xx: yolo_int8.apply(
+            v["q"], xx, reg_max=yolo.reg_max, num_classes=m.num_classes,
+            act_scales=v["scales"])
+
+    _yolo_fwd = yolo_apply or (lambda v, xx: yolo.apply(v, xx, train=False))
+    _resnet_fwd = resnet_apply or (lambda v, xx: resnet.apply(v, xx, train=False))
 
     images = np.random.default_rng(0).integers(0, 255, (batch, 640, 640, 3), np.uint8)
     images_dev = jax.device_put(jnp.asarray(images))
@@ -128,7 +160,7 @@ def main() -> None:
     def yolo_stage(carry, yv, imgs):
         eps = (carry * 1e-30).astype(jnp.float32)
         x = imgs.astype(jnp.float32) / 255.0 + eps
-        dist, cls = yolo.apply(yv, x, train=False)
+        dist, cls = _yolo_fwd(yv, x)
         return ssum((dist, cls))
 
     if want("yolo_fwd"):
@@ -163,10 +195,9 @@ def main() -> None:
     def crop_stage(carry, rv, imgs, bxs):
         eps = (carry * 1e-30).astype(jnp.float32)
         x = imgs.astype(jnp.float32) / 255.0 + eps
-        ci = 224
         crops = jax.vmap(lambda img, bx: imops.crop_and_resize(img, bx, (ci, ci)))(x, bxs)
         flat = imops.normalize_imagenet(crops.reshape(batch * kc, ci, ci, 3))
-        logits = resnet.apply(rv, flat, train=False)
+        logits = _resnet_fwd(rv, flat)
         return ssum(logits)
 
     if want("crop_resnet"):
@@ -180,8 +211,8 @@ def main() -> None:
     def global_stage(carry, rv, imgs):
         eps = (carry * 1e-30).astype(jnp.float32)
         x = imgs.astype(jnp.float32) / 255.0 + eps
-        xg = preprocess_for_classifier(x, 224)
-        return ssum(resnet.apply(rv, xg, train=False))
+        xg = preprocess_for_classifier(x, ci)
+        return ssum(_resnet_fwd(rv, xg))
 
     if want("global_resnet"):
         per, fl = measure(scanloop(global_stage), (resnet_vars, images_dev),
@@ -224,7 +255,9 @@ def main() -> None:
 
     # 6. full fused graph
     fwd = build_full_forward(yolo, resnet, (640, 640), max_det, kc,
-                             max_segmented=m.max_segmented)
+                             classifier_input=ci,
+                             max_segmented=m.max_segmented,
+                             resnet_apply=resnet_apply, yolo_apply=yolo_apply)
 
     def full_stage(carry, yv, rv, imgs, a, s):
         eps = (carry * 1e-30).astype(imgs.dtype)

@@ -240,3 +240,184 @@ def test_system_emits_threshold_alerts_through_dispatcher(tiny_config):
     # and the dispatcher accounting is consistent
     s = system.alert_dispatcher.stats
     assert s["sent"] == len(posts) and s["failed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# email transport (reference alerts.email block, config.yaml:89-95 —
+# declared there, implemented here via stdlib smtplib)
+# ---------------------------------------------------------------------------
+
+
+class _SmtpSink(threading.Thread):
+    """Minimal local SMTP server: accepts one session, records the
+    envelope + message body (smtpd was removed in Python 3.12)."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        import socket
+
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.mail_from = None
+        self.rcpt_to = []
+        self.data = b""
+        self.ready = threading.Event()
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        f = conn.makefile("rb")
+        conn.sendall(b"220 localhost iqc-test-smtp\r\n")
+        in_data = False
+        body = []
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if in_data:
+                if line.rstrip(b"\r\n") == b".":
+                    self.data = b"".join(body)
+                    conn.sendall(b"250 OK\r\n")
+                    in_data = False
+                else:
+                    body.append(line)
+                continue
+            verb = line.rstrip(b"\r\n").split(b":")[0].split(b" ")[0].upper()
+            if verb in (b"EHLO", b"HELO"):
+                conn.sendall(b"250-localhost\r\n250 HELP\r\n")
+            elif verb == b"MAIL":
+                self.mail_from = line.decode().split(":", 1)[1].strip()
+                conn.sendall(b"250 OK\r\n")
+            elif verb == b"RCPT":
+                self.rcpt_to.append(line.decode().split(":", 1)[1].strip())
+                conn.sendall(b"250 OK\r\n")
+            elif verb == b"DATA":
+                conn.sendall(b"354 go\r\n")
+                in_data = True
+            elif verb == b"QUIT":
+                conn.sendall(b"221 bye\r\n")
+                self.ready.set()
+                break
+            else:
+                conn.sendall(b"250 OK\r\n")
+        conn.close()
+        self.sock.close()
+
+
+def test_email_delivery_to_local_smtp_sink():
+    """send_email_smtp speaks real SMTP end to end against a local sink."""
+    from iqc_tpu.serving.alerts import send_email_smtp
+
+    sink = _SmtpSink()
+    sink.start()
+    settings = {
+        "smtp_server": "127.0.0.1", "smtp_port": sink.port,
+        "username": "qc-system@company.com",
+        "recipients": ["quality.manager@company.com",
+                       "production.supervisor@company.com"],
+    }
+    send_email_smtp(settings, "[IQC CRITICAL] critical_defects",
+                    "3 critical defect(s) detected", timeout=5.0)
+    assert sink.ready.wait(5.0)
+    assert "qc-system@company.com" in sink.mail_from
+    assert len(sink.rcpt_to) == 2
+    assert any("quality.manager" in r for r in sink.rcpt_to)
+    text = sink.data.decode()
+    assert "[IQC CRITICAL] critical_defects" in text
+    assert "3 critical defect(s) detected" in text
+
+
+def test_dispatcher_email_routing_and_counters():
+    """email_notifications on (webhooks off): alerts go to the email
+    transport with the structured subject, and email_sent counts."""
+    sent = []
+
+    def fake_email(settings, subject, body, timeout):
+        sent.append((settings, subject, body))
+
+    cfg = AlertsConfig(
+        email_notifications=True,
+        email={"smtp_server": "smtp.test", "smtp_port": 2525,
+               "recipients": ["qa@test"]},
+        cooldown_seconds=0.0,
+    )
+    d = AlertDispatcher(cfg, email_sender=fake_email)
+    assert d.email_enabled and d.enabled and not d.webhooks_enabled
+    assert d.submit({"type": "threshold", "rule": "critical_defects",
+                     "severity": "critical", "message": "2 critical"})
+    d.flush()
+    assert len(sent) == 1
+    settings, subject, body = sent[0]
+    assert settings["smtp_server"] == "smtp.test"
+    assert subject == "[IQC CRITICAL] critical_defects"
+    assert "2 critical" in body
+    assert d.stats["email_sent"] == 1 and d.stats["email_failed"] == 0
+    assert d.stats["sent"] == 0  # no webhook leg
+    d.close()
+
+
+def test_dispatcher_email_failure_counts_after_retries():
+    calls = []
+
+    def broken_email(settings, subject, body, timeout):
+        calls.append(1)
+        raise ConnectionRefusedError("no smtp")
+
+    cfg = AlertsConfig(
+        email_notifications=True,
+        email={"smtp_server": "smtp.test", "recipients": ["qa@test"]},
+        cooldown_seconds=0.0, retries=2,
+    )
+    d = AlertDispatcher(cfg, email_sender=broken_email)
+    d.submit({"type": "threshold", "rule": "major_defects",
+              "severity": "major", "message": "x"})
+    d.flush()
+    assert len(calls) == 3  # initial + 2 retries
+    assert d.stats["email_failed"] == 1 and d.stats["email_sent"] == 0
+    d.close()
+
+
+def test_email_config_validation():
+    with pytest.raises(ValueError):
+        SystemConfig.from_dict({"alerts": {"email_notifications": True}})
+    with pytest.raises(ValueError):
+        SystemConfig.from_dict({"alerts": {
+            "email_notifications": True,
+            "email": {"smtp_server": "s", "recipients": ["a@b"],
+                      "smtp_port": "not-a-port"},
+        }})
+    # the reference's own block (config.yaml:76-95) validates clean
+    cfg = SystemConfig.from_dict({"alerts": {
+        "email_notifications": True,
+        "webhook_notifications": True,
+        "thresholds": {"critical_defects": 1, "major_defects": 2,
+                       "high_defect_rate": 3.0, "low_confidence": 0.6},
+        "email": {"smtp_server": "smtp.company.com", "smtp_port": 587,
+                  "username": "qc-system@company.com",
+                  "recipients": ["quality.manager@company.com",
+                                 "production.supervisor@company.com"]},
+        "webhook_url": "https://your-webhook.com/alerts",
+    }})
+    assert cfg.alerts.email["smtp_port"] == 587
+
+
+def test_dispatcher_both_transports_fire():
+    posts, mails = [], []
+    cfg = AlertsConfig(
+        webhook_notifications=True, webhook_url="http://sink/hook",
+        email_notifications=True,
+        email={"smtp_server": "smtp.test", "recipients": ["qa@test"]},
+        cooldown_seconds=0.0,
+    )
+    d = AlertDispatcher(
+        cfg, sender=lambda u, b, h, t: posts.append(u) or 200,
+        email_sender=lambda s, subj, body, t: mails.append(subj),
+    )
+    d.submit({"type": "spc", "metric": "defect_rate", "severity": "major",
+              "message": "ooc"})
+    d.flush()
+    assert posts == ["http://sink/hook"]
+    assert mails == ["[IQC MAJOR] defect_rate"]
+    assert d.stats["sent"] == 1 and d.stats["email_sent"] == 1
+    d.close()
