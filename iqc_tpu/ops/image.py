@@ -47,9 +47,14 @@ def normalize_imagenet(image: jnp.ndarray) -> jnp.ndarray:
 
 
 def rgb_to_gray(image: jnp.ndarray) -> jnp.ndarray:
-    """ITU-R BT.601 luma, parity with cv2.cvtColor(..., COLOR_RGB2GRAY)."""
-    w = jnp.asarray([0.299, 0.587, 0.114], dtype=image.dtype)
-    return jnp.tensordot(image, w, axes=[[-1], [0]])
+    """ITU-R BT.601 luma, parity with cv2.cvtColor(..., COLOR_RGB2GRAY).
+
+    Scalar immediates instead of a [3] weight literal: this op now runs
+    inside plain-jit train steps (augmentation chain), where an embedded
+    array constant is pathological on the tunnel backend (CLAUDE.md rule 1
+    / ops/jit_utils.py). Same add order as the tensordot it replaces."""
+    return (0.299 * image[..., 0] + 0.587 * image[..., 1]
+            + 0.114 * image[..., 2]).astype(image.dtype)
 
 
 def resize_bilinear(image: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

@@ -64,6 +64,13 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "unfreeze_schedule": [],  # [{"epoch": 10, "layers": ["layer4"]}, ...]
     "use_class_weights": True,
     "balanced_sampling": True,
+    # train-time augmentation — the reference's consumed torchvision stack
+    # (reference train_resnet.py:132-196 + resnet_config.yaml:100-140:
+    # random_resize_crop, flips, rotation, color_jitter, random_grayscale,
+    # random_erasing, gaussian_blur). A dict in that YAML shape (the
+    # `augmentation.train` block); None = off. Runs on device inside the
+    # jitted train step (data/augmentation.classifier_augment_config).
+    "augmentation": None,
     "val_frequency": 1,
     "early_stopping_patience": 10,
     "checkpoint_dir": "checkpoints/resnet",
@@ -235,6 +242,37 @@ class ResNetTrainer:
             self._class_weights = jnp.ones((c["num_classes"],), jnp.float32)
         self._class_weights = replicate(self.mesh, self._class_weights)
         step = make_classifier_train_step(self.module, opt, c["label_smoothing"])
+
+        aug_raw = c.get("augmentation")
+        if isinstance(aug_raw, dict) and "train" in aug_raw:
+            aug_raw = aug_raw["train"]  # accept the full reference YAML shape
+        from iqc_tpu.data.augmentation import classifier_augment_config
+
+        self._aug_cfg = classifier_augment_config(aug_raw)
+        if self._aug_cfg is not None:
+            # augment on device inside the step: uint8 batch -> [0,1] float
+            # -> augmentation chain -> ImageNet normalize (the base step's
+            # _device_normalize passes float inputs through untouched).
+            # Wrapping here covers all three dispatch paths — streaming
+            # packed, device-corpus scanned epochs, and the pjit mesh step.
+            from iqc_tpu.data.augmentation import augment_image_and_boxes
+            from iqc_tpu.ops import image as imops_
+
+            base_step = step
+            aug_cfg = self._aug_cfg
+
+            def step(state, images, labels, rng, class_weights):  # noqa: F811
+                ka, kd = jax.random.split(rng)
+                x = imops_.to_float(images)
+                keys = jax.random.split(ka, x.shape[0])
+                x = jax.vmap(
+                    lambda k, im: augment_image_and_boxes(k, im, None, aug_cfg)[0]
+                )(keys, x)
+                x = imops_.normalize_imagenet(x)
+                return base_step(state, x, labels, kd, class_weights)
+
+            logger.info("train-time augmentation active: %s", aug_cfg)
+
         self._train_step = shard_train_step(step, self.mesh)
         self._raw_step = step
         self._packed_compiled = {}
@@ -621,6 +659,11 @@ def main() -> None:  # pragma: no cover
         with open(args.config) as f:
             raw = yaml.safe_load(f) or {}
         config = raw.get("training", raw)
+        # top-level augmentation block (reference resnet_config.yaml:85-145):
+        # the `train` sub-dict feeds the on-device augmentation chain
+        aug = raw.get("augmentation") or {}
+        if aug and "augmentation" not in config:
+            config["augmentation"] = aug.get("train", aug)
     if args.epochs:
         config["epochs"] = args.epochs
 

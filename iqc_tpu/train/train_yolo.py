@@ -60,6 +60,13 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "mixup": 0.0,
     "device_mosaic": True,   # in-batch mosaic/mixup on device (ops/mosaic.py)
     "mosaic_antialias": False,  # AA measurably hurts (see ops/mosaic._interp_matrix)
+    # photometric/geometric train-time augmentation on top of mosaic — the
+    # ~15 Ultralytics hyperparams the reference passes to model.train
+    # (reference train_yolo.py:157-171). A dict of YoloAugHyp fields
+    # (hsv_h/hsv_s/hsv_v, degrees, translate, scale, shear, flipud,
+    # fliplr); None = off. Runs on device inside every train-step path
+    # (streaming, staged, scanned-corpus) via data/augmentation.py.
+    "augmentation": None,
     "ema_decay": 0.9999,
     "width_mult": 0.25,
     "depth_mult": 0.334,
@@ -218,6 +225,17 @@ class YOLOTrainer:
         mosaic_p, mixup_p, seed = c["mosaic"], c["mixup"], c["seed"]
         mosaic_aa = bool(c.get("mosaic_antialias", False))
 
+        aug_raw = c.get("augmentation")
+        aug_hyp = None
+        if aug_raw:
+            from iqc_tpu.data.augmentation import YoloAugHyp
+
+            aug_hyp = YoloAugHyp.from_dict(
+                aug_raw if isinstance(aug_raw, dict) else {})
+            if not aug_hyp.active():
+                aug_hyp = None
+        self.aug_hyp = aug_hyp
+
         def make_step(apply_inbatch_mosaic: bool):
           def step(state, ema, images, boxes, classes, valid, anchors, strides,
                    cls_w):
@@ -244,6 +262,17 @@ class YOLOTrainer:
                 images, boxes, classes, valid = mixup_batch(
                     images, boxes, classes, valid, kx, prob=mixup_p
                 )
+            if aug_hyp is not None:
+                # Ultralytics order: random_perspective + flips + HSV run
+                # AFTER mosaic assembly. Distinct key stream from mosaic
+                # (fold_in of a different base) keeps both deterministic
+                # and resume-stable.
+                from iqc_tpu.data.augmentation import yolo_train_augment_batch
+
+                ka = jax.random.fold_in(
+                    jax.random.PRNGKey(seed + 7919), state.step)
+                images, boxes, classes, valid = yolo_train_augment_batch(
+                    ka, images, boxes, classes, valid, aug_hyp)
 
             def loss_fn(params):
                 vars_ = {"params": params, "batch_stats": state.batch_stats}
@@ -764,6 +793,18 @@ def main() -> None:  # pragma: no cover
         qc = raw.get("qc_specific") or {}
         if qc.get("class_weights") and not config.get("class_weights"):
             config["class_weights"] = qc["class_weights"]
+        # top-level augmentation block (reference yolo_config.yaml:61-83):
+        # mosaic/mixup probabilities route to the mosaic tiers; the rest
+        # (hsv/geometric/flips) to the on-device YoloAugHyp chain
+        aug = dict(raw.get("augmentation") or {})
+        if aug:
+            if "mosaic" in aug and "mosaic" not in config:
+                config["mosaic"] = float(aug.pop("mosaic"))
+            if "mixup" in aug and "mixup" not in config:
+                config["mixup"] = float(aug.pop("mixup"))
+            aug.pop("copy_paste", None)  # reference ships 0.0; unimplemented
+            if "augmentation" not in config:
+                config["augmentation"] = aug
     if args.epochs:
         config["epochs"] = args.epochs
 

@@ -82,6 +82,15 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
         # matches the shipped-checkpoint recipe (RESULTS.md round-2 A/B).
         "device_mosaic": os.environ.get("DEVICE_MOSAIC", "0") == "1",
         "mosaic_antialias": False,
+        # AUG=1: the reference's Ultralytics augmentation hyperparams on
+        # top of mosaic (train_yolo.py augmentation block; degrees/flipud
+        # raised — top-down industrial surfaces are orientation-free)
+        "augmentation": {
+            "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+            "degrees": float(os.environ.get("AUG_DEGREES", "10")),
+            "translate": 0.1, "scale": 0.5,
+            "fliplr": 0.5, "flipud": 0.3,
+        } if os.environ.get("AUG", "0") == "1" else None,
         "checkpoint_dir": "checkpoints/yolo_mvtec",
     })
     c = trainer.config
@@ -156,6 +165,19 @@ def train_classification(cat_dir: str, epochs: int, seed: int, out: str):
         "learning_rate": 3e-4,
         "checkpoint_dir": "checkpoints/resnet_mvtec",
         "early_stopping_patience": epochs,
+        # CLS_AUG=1: the reference torchvision transform stack
+        # (resnet_config.yaml:100-140) on device inside the train step
+        "augmentation": {
+            "random_horizontal_flip": {"probability": 0.5},
+            "random_vertical_flip": {"probability": 0.1},
+            "random_rotation": {"degrees": 15},
+            "color_jitter": {"brightness": 0.2, "contrast": 0.2,
+                             "saturation": 0.2, "hue": 0.1},
+            "random_grayscale": {"probability": 0.1},
+            "random_erasing": {"enabled": True, "probability": 0.25,
+                               "scale": [0.02, 0.33]},
+            "gaussian_blur": {"enabled": True, "probability": 0.1},
+        } if os.environ.get("CLS_AUG", "0") == "1" else None,
     })
     trainer.setup_data(train_ds, val_ds, val_ds)
     trainer.build(steps_per_epoch=len(trainer.train_loader))
