@@ -469,11 +469,21 @@ class YOLODetector:
             )
         return results
 
-    def update_thresholds(self, confidence: Optional[float] = None, nms: Optional[float] = None):
+    def update_thresholds(self, confidence=None, nms: Optional[float] = None):
         """Runtime threshold mutation (yolo_model.py:252-260); thresholds are
-        traced args, so this is free (no recompile)."""
+        traced args, so this is free (no recompile). ``confidence`` accepts
+        a scalar, a [C] sequence, or a {class_name: thr} dict
+        (qc_specific.confidence_thresholds shape)."""
         if confidence is not None:
-            self.confidence_threshold = float(confidence)
+            if isinstance(confidence, dict):
+                base = self.confidence_threshold
+                self.class_conf_thresholds = [
+                    float(confidence.get(n, base)) for n in self.class_names]
+            elif isinstance(confidence, (list, tuple)):
+                self.class_conf_thresholds = [float(v) for v in confidence]
+            else:
+                self.confidence_threshold = float(confidence)
+                self.class_conf_thresholds = None
         if nms is not None:
             self.nms_threshold = float(nms)
 

@@ -170,7 +170,12 @@ def nms_single(
     """
     neg = jnp.asarray(-1.0, dtype=scores.dtype)
     s = jnp.where(mask & (scores > score_threshold), scores, neg)
-    top_scores, top_idx = lax.top_k(s, max_detections)
+    # clamp the candidate pool to the anchor count (tiny input resolutions
+    # have fewer anchors than the configured capacity — top_k would throw);
+    # outputs pad back to max_detections slots below so the capacity
+    # contract holds regardless of input size
+    pool = min(max_detections, int(scores.shape[-1]))
+    top_scores, top_idx = lax.top_k(s, pool)
     top_boxes = boxes[top_idx]
     top_classes = classes[top_idx]
     cand_valid = top_scores > 0.0
@@ -220,12 +225,24 @@ def nms_single(
 
     # compact survivors to the front, preserving score order
     order = jnp.argsort(~valid, stable=True)
-    return Detections(
+    det = Detections(
         boxes=top_boxes[order],
         scores=jnp.where(valid, top_scores, 0.0)[order],
         classes=jnp.where(valid, top_classes, -1)[order],
         valid=valid[order],
     )
+    if pool < max_detections:  # pad invalid slots up to capacity
+        pad = max_detections - pool
+        det = Detections(
+            boxes=jnp.concatenate(
+                [det.boxes, jnp.zeros((pad, 4), det.boxes.dtype)]),
+            scores=jnp.concatenate(
+                [det.scores, jnp.zeros((pad,), det.scores.dtype)]),
+            classes=jnp.concatenate(
+                [det.classes, jnp.full((pad,), -1, det.classes.dtype)]),
+            valid=jnp.concatenate([det.valid, jnp.zeros((pad,), bool)]),
+        )
+    return det
 
 
 def batched_nms(

@@ -176,3 +176,24 @@ def test_box_voting_semantics():
     np.testing.assert_allclose(vb[i1], boxes[2], rtol=1e-5)
     # class isolation: the class-0 voted box ignored the class-1 box 3
     assert not np.allclose(vb[i0], (0.9*boxes[0]+0.6*iou(boxes[0],boxes[1])*boxes[1]+0.5*iou(boxes[0],boxes[3])*boxes[3])/(0.9+0.6*iou(boxes[0],boxes[1])+0.5*iou(boxes[0],boxes[3])))
+
+
+def test_capacity_larger_than_anchor_count_pads():
+    """max_detections > #anchors must clamp the top_k pool and pad outputs
+    back to capacity (tiny input resolutions: 96px = 189 anchors < the
+    default 300-slot capacity — previously a top_k ValueError)."""
+    rng = np.random.default_rng(0)
+    boxes, scores, classes = _random_problem(rng, n=20)
+    det = nms_ops.nms_single(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.ones((20,), bool), max_detections=64, iou_threshold=0.5,
+        score_threshold=0.3,
+    )
+    assert det.boxes.shape == (64, 4) and det.valid.shape == (64,)
+    v = np.asarray(det.valid)
+    assert v.sum() <= 20 and not v[20:].any()
+    # survivors match the oracle exactly despite the padding
+    keep = greedy_nms_oracle(boxes, scores, classes, 0.5, 0.3)
+    got = set(map(tuple, np.asarray(det.boxes)[v].round(3)))
+    want = set(map(tuple, boxes[keep].round(3)))
+    assert got == want

@@ -340,3 +340,19 @@ def test_max_detections_per_image_caps_results(qc_predictor, rng):
         breakdown = qa.get("defect_breakdown")
         if breakdown:
             assert sum(breakdown.values()) == len(result["detections"])
+
+
+def test_yolo_detector_update_thresholds_per_class():
+    """update_thresholds accepts the qc_specific per-class dict shape and
+    swaps between scalar/vector without recompiling surprises."""
+    from iqc_tpu.models.yolo import YOLODetector
+
+    det = YOLODetector(input_size=(96, 96), width_mult=0.125,
+                       confidence_threshold=0.4)
+    det.update_thresholds(confidence={"crack": 0.9, "dent": 0.7})
+    assert det.class_conf_thresholds == [0.9, 0.4, 0.7, 0.4, 0.4]
+    det.update_thresholds(confidence=[0.1, 0.2, 0.3, 0.4, 0.5])
+    assert det.class_conf_thresholds == [0.1, 0.2, 0.3, 0.4, 0.5]
+    det.update_thresholds(confidence=0.25)
+    assert det.class_conf_thresholds is None
+    assert det.confidence_threshold == 0.25
