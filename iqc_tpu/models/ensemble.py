@@ -660,14 +660,25 @@ class EnsemblePredictor:
         batch = jax.device_put(
             jnp.asarray(images), data_parallel_sharding(spec, np.ndim(images))
         )
-        return self._forward(
+        # qc_specific overrides ride along exactly as in _args (per-class
+        # conf vector in the conf_t slot, severity rules trailing)
+        qc = self.config.qc_specific
+        conf_vec = qc.conf_vector(self.class_names, self.confidence_threshold)
+        conf_t = (jnp.asarray(conf_vec, jnp.float32) if conf_vec
+                  else jnp.float32(self.confidence_threshold))
+        nms_t = (qc.nms_threshold if qc.nms_threshold is not None
+                 else self.nms_threshold)
+        sev = qc.severity_array()
+        args = (
             self.yolo_vars, self.resnet_vars, batch,
-            jnp.float32(self.confidence_threshold),
-            jnp.float32(self.nms_threshold),
+            conf_t, jnp.float32(nms_t),
             jnp.float32(self.ensemble_weights["yolo"]),
             jnp.float32(self.ensemble_weights["resnet"]),
             self._anchors, self._strides,
         )
+        if sev is not None:
+            args += (jnp.asarray(sev, jnp.float32),)
+        return self._forward(*args)
 
     # -- reference-parity API ----------------------------------------------------
 

@@ -39,11 +39,20 @@ def run_one(seed: int, device_mosaic: bool, epochs: int, n_images: int,
         "CKPT_DIR": out.replace(".msgpack", "_ckpt"),
     })
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "train_demo_yolo.py")],
-        env=env, capture_output=True, text=True,
-        timeout=int(os.environ.get("RUN_TIMEOUT", "3600")), cwd=REPO,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "train_demo_yolo.py")],
+            env=env, capture_output=True, text=True,
+            timeout=int(os.environ.get("RUN_TIMEOUT", "3600")), cwd=REPO,
+        )
+    except subprocess.TimeoutExpired as e:
+        # a timed-out seed must not kill the whole study (r4: host-side CPU
+        # contention pushed one seed past RUN_TIMEOUT and the uncaught
+        # exception dropped the remaining seeds)
+        time.sleep(60)  # let the killed TPU client release
+        return {"seed": seed, "device_mosaic": device_mosaic,
+                "error": f"timeout after {e.timeout}s",
+                "wall_s": round(time.time() - t0, 1)}
     wall = time.time() - t0
     if proc.returncode != 0:
         return {"seed": seed, "device_mosaic": device_mosaic, "error":

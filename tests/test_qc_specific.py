@@ -356,3 +356,18 @@ def test_yolo_detector_update_thresholds_per_class():
     det.update_thresholds(confidence=0.25)
     assert det.class_conf_thresholds is None
     assert det.confidence_threshold == 0.25
+
+
+def test_run_sharded_honors_qc_specific(qc_predictor, rng):
+    """The data-parallel path applies the same per-class floors/severity
+    rules as the single-device path (VERDICT r3: run_sharded must not
+    silently drop qc_specific)."""
+    imgs = rng.integers(0, 255, (8, 96, 96, 3), dtype=np.uint8)
+    single = qc_predictor.run(imgs)
+    sharded = qc_predictor.run_sharded(imgs)
+    np.testing.assert_array_equal(np.asarray(single.valid),
+                                  np.asarray(sharded.valid))
+    np.testing.assert_allclose(np.asarray(single.yolo_scores),
+                               np.asarray(sharded.yolo_scores), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(single.yolo_severity),
+                                  np.asarray(sharded.yolo_severity))
