@@ -79,6 +79,50 @@ def _clean_mask(mask: jnp.ndarray) -> jnp.ndarray:
     return imops.binary_open(m, 2)
 
 
+def _use_pallas_morph() -> bool:
+    """Route the iteration-heavy morphology through the in-VMEM Pallas
+    kernels on TPU (ops/pallas_morph.py). IQC_DISABLE_PALLAS_MORPH=1
+    reverts to the XLA passes."""
+    import os
+
+    if os.environ.get("IQC_DISABLE_PALLAS_MORPH"):
+        return False
+    from iqc_tpu.ops.pallas_morph import morph_available
+
+    return morph_available()
+
+
+def clean_mask_batch(mask: jnp.ndarray, use_pallas=None) -> jnp.ndarray:
+    """_clean_mask over a [N,R,R] batch. The XLA path runs ~26 sequential
+    HBM passes (the 16-iteration hole fill dominates); the Pallas path
+    keeps each ROI in VMEM for the whole sequence — bit-identical output
+    (tests/test_pallas_morph.py)."""
+    p = use_pallas if use_pallas is not None else _use_pallas_morph()
+    if p:
+        from iqc_tpu.ops.pallas_morph import pallas_clean
+
+        return pallas_clean(mask, fill_iterations=16)
+    return _clean_mask(mask)
+
+
+def grow_clean_batch(seeds: jnp.ndarray, allow: jnp.ndarray,
+                     iterations: int = 24, use_pallas=None) -> jnp.ndarray:
+    """Geodesic dilation + _clean_mask over a [N,R,R] batch (the region-
+    growing tail), fused into one VMEM-resident kernel on TPU."""
+    p = use_pallas if use_pallas is not None else _use_pallas_morph()
+    if p:
+        from iqc_tpu.ops.pallas_morph import pallas_grow_clean
+
+        return pallas_grow_clean(seeds, allow, grow_iterations=iterations,
+                                 fill_iterations=16)
+
+    def body(_, m):
+        return imops.binary_dilate(m, 1) & allow
+
+    mask = lax.fori_loop(0, iterations, body, seeds)
+    return _clean_mask(mask)
+
+
 def _separation_confidence(roi: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Foreground/background separation in sigma units / 3, clamped [0,1]
     (segmentation.py:527-556)."""
@@ -102,12 +146,16 @@ def _edge_overlap_confidence(roi: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
     return jnp.where((ratio < 0.01) | (ratio > 0.8), 0.3, conf)
 
 
-def _threshold_segment(roi: jnp.ndarray, adjust: jnp.ndarray, dark: jnp.ndarray):
-    """Otsu threshold with per-class bias (segmentation.py:197-246)."""
+def _threshold_pre(roi: jnp.ndarray, adjust: jnp.ndarray, dark: jnp.ndarray):
+    """Otsu threshold with per-class bias, raw mask (pre-cleanup)."""
     blurred = imops.gaussian_blur(roi, sigma=1.0)
     t = imops.otsu_threshold(blurred) * adjust
-    mask = jnp.where(dark, blurred < t, blurred > t)
-    mask = _clean_mask(mask)
+    return jnp.where(dark, blurred < t, blurred > t)
+
+
+def _threshold_segment(roi: jnp.ndarray, adjust: jnp.ndarray, dark: jnp.ndarray):
+    """Otsu threshold with per-class bias (segmentation.py:197-246)."""
+    mask = _clean_mask(_threshold_pre(roi, adjust, dark))
     return mask, _separation_confidence(roi, mask)
 
 
@@ -152,10 +200,9 @@ def _watershed_segment(roi: jnp.ndarray, dark: jnp.ndarray):
     return mask, conf
 
 
-def _region_growing_segment(roi: jnp.ndarray, dark: jnp.ndarray, iterations: int = 24):
-    """Seeded region growing as bounded geodesic dilation
-    (segmentation.py:348-447): seeds are >2-sigma extreme pixels; growth
-    predicate |I - seed_mean| < 2*std(roi).
+def _region_pre(roi: jnp.ndarray, dark: jnp.ndarray):
+    """Region-growing seed computation (pre-iteration): returns
+    (seeds, grow_ok, n_seeds).
 
     Improvement over the reference: seed statistics come from the ROI
     border ring (assumed background) rather than the whole ROI — a tight
@@ -195,17 +242,31 @@ def _region_growing_segment(roi: jnp.ndarray, dark: jnp.ndarray, iterations: int
     n_seeds = jnp.sum(seeds)
     seed_mean = jnp.sum(jnp.where(seeds, roi, 0.0)) / jnp.maximum(n_seeds, 1)
     grow_ok = jnp.abs(roi - seed_mean) < 2.0 * jnp.std(roi)
+    return seeds, grow_ok, n_seeds
+
+
+def _region_confidence(mask: jnp.ndarray, n_seeds: jnp.ndarray) -> jnp.ndarray:
+    ratio = jnp.mean(mask.astype(jnp.float32))
+    seed_score = jnp.minimum(n_seeds.astype(jnp.float32) / 5.0, 1.0)
+    coverage_score = jnp.minimum(ratio * 5.0, 1.0)
+    conf = 0.6 * seed_score + 0.4 * coverage_score
+    return jnp.where(n_seeds > 0, conf, 0.0)
+
+
+def _region_growing_segment(roi: jnp.ndarray, dark: jnp.ndarray, iterations: int = 24):
+    """Seeded region growing as bounded geodesic dilation
+    (segmentation.py:348-447): seeds are >2-sigma extreme pixels; growth
+    predicate |I - seed_mean| < 2*std(roi). Single-ROI composition of
+    _region_pre + the geodesic/cleanup tail (segment_rois runs the tail
+    batched through grow_clean_batch instead)."""
+    seeds, grow_ok, n_seeds = _region_pre(roi, dark)
 
     def body(_, m):
         return imops.binary_dilate(m, 1) & grow_ok
 
     mask = lax.fori_loop(0, iterations, body, seeds)
     mask = _clean_mask(mask)
-    ratio = jnp.mean(mask.astype(jnp.float32))
-    seed_score = jnp.minimum(n_seeds.astype(jnp.float32) / 5.0, 1.0)
-    coverage_score = jnp.minimum(ratio * 5.0, 1.0)
-    conf = 0.6 * seed_score + 0.4 * coverage_score
-    conf = jnp.where(n_seeds > 0, conf, 0.0)
+    conf = _region_confidence(mask, n_seeds)
     mask = jnp.where(n_seeds > 0, mask, jnp.zeros_like(mask))
     return mask, conf
 
@@ -245,20 +306,38 @@ def segment_rois(
     cid = jnp.clip(class_ids, 0, n_cls - 1)
     method = table_lookup(CLASS_TO_METHOD, cid)
 
-    def per_roi(roi, k, ok):
-        dark = table_lookup(CLASS_IS_DARK, k)
-        m_t, c_t = _threshold_segment(roi, table_lookup(CLASS_THRESH_ADJUST, k), dark)
-        m_a, c_a = _adaptive_segment(roi, dark, block_size)
-        m_w, c_w = _watershed_segment(roi, dark)
-        m_r, c_r = _region_growing_segment(roi, dark)
-        masks = jnp.stack([m_t, m_a, m_w, m_r])
-        confs = jnp.stack([c_t, c_a, c_w, c_r])
+    # The iteration-heavy tails (geodesic growth + the 16-iteration hole
+    # fill inside _clean_mask) run BATCHED outside the per-ROI vmap so the
+    # Pallas kernels (ops/pallas_morph.py) can keep each ROI in VMEM for
+    # the whole sequence — the XLA formulation spent 12.5 ms/batch-32 at
+    # half the HBM roofline on ~56 sequential 8 MB passes
+    # (docs/profile_int8_r4.json).
+    def pre(roi, k):
+        dk = table_lookup(CLASS_IS_DARK, k)
+        m_t_raw = _threshold_pre(roi, table_lookup(CLASS_THRESH_ADJUST, k), dk)
+        seeds, grow_ok, n_seeds = _region_pre(roi, dk)
+        return m_t_raw, seeds, grow_ok, n_seeds
+
+    m_t_raw, seeds, grow_ok, n_seeds = jax.vmap(pre)(rois, cid)
+
+    m_t = clean_mask_batch(m_t_raw)
+    m_r = grow_clean_batch(seeds, grow_ok, iterations=24)
+    m_r = m_r & (n_seeds > 0)[:, None, None]
+
+    def post(roi, k, ok, m_t_, m_r_, ns):
+        dk = table_lookup(CLASS_IS_DARK, k)
+        c_t = _separation_confidence(roi, m_t_)
+        m_a, c_a = _adaptive_segment(roi, dk, block_size)
+        m_w, c_w = _watershed_segment(roi, dk)
+        c_r = _region_confidence(m_r_, ns)
+        masks_ = jnp.stack([m_t_, m_a, m_w, m_r_])
+        confs_ = jnp.stack([c_t, c_a, c_w, c_r])
         mk = table_lookup(CLASS_TO_METHOD, k)
-        mask = masks[mk] & ok
-        conf = jnp.where(ok, confs[mk], 0.0)
+        mask = masks_[mk] & ok
+        conf = jnp.where(ok, confs_[mk], 0.0)
         return mask, conf
 
-    masks, confs = jax.vmap(per_roi)(rois, cid, valid)
+    masks, confs = jax.vmap(post)(rois, cid, valid, m_t, m_r, n_seeds)
 
     area_px, perim_px = jax.vmap(mask_stats)(masks)
     area = area_px * scale_x * scale_y

@@ -266,6 +266,7 @@ def test_yolo_loss_upweighting_gt_class_raises_cls_loss():
 
 def test_trainer_accepts_class_weights_dict():
     """The trainer maps {class_name: w} onto the [C] vector and trains."""
+    from iqc_tpu.config import MeshConfig
     from iqc_tpu.data.yolo_dataset import DetectionLoader, SyntheticDefectDataset
     from iqc_tpu.train.train_yolo import YOLOTrainer
 
@@ -279,7 +280,7 @@ def test_trainer_accepts_class_weights_dict():
         "device_mosaic": False, "staged_host_epochs": False,
         "checkpoint_dir": "/tmp/iqc_yolo_qc_test",
         "class_weights": {"crack": 1.2, "dent": 1.5, "discoloration": 0.8},
-    })
+    }, mesh_config=MeshConfig(data_parallel=1, model_parallel=1))
     trainer.build(steps_per_epoch=len(loader))
     np.testing.assert_allclose(trainer._class_weights,
                                [1.2, 1.0, 1.5, 0.8, 1.0])

@@ -179,6 +179,7 @@ def test_yolo_train_augment_batch_shapes():
 
 
 def test_yolo_trainer_with_augmentation_trains():
+    from iqc_tpu.config import MeshConfig
     from iqc_tpu.data.yolo_dataset import DetectionLoader, SyntheticDefectDataset
     from iqc_tpu.train.train_yolo import YOLOTrainer
 
@@ -193,7 +194,7 @@ def test_yolo_trainer_with_augmentation_trains():
         "checkpoint_dir": "/tmp/iqc_yolo_aug_test",
         "augmentation": {"hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
                          "translate": 0.1, "scale": 0.5, "fliplr": 0.5},
-    })
+    }, mesh_config=MeshConfig(data_parallel=1, model_parallel=1))
     trainer.build(steps_per_epoch=len(loader))
     assert trainer.aug_hyp is not None and trainer.aug_hyp.hsv_s == 0.7
     report = trainer.train(loader, val_loader=None, epochs=2)
@@ -208,6 +209,8 @@ def test_yolo_trainer_augmentation_changes_training():
     from iqc_tpu.train.train_yolo import YOLOTrainer
 
     def one_epoch(aug):
+        from iqc_tpu.config import MeshConfig
+
         ds = SyntheticDefectDataset(n=8, image_size=96, max_boxes=8)
         loader = DetectionLoader(ds, batch_size=4, mosaic_prob=0.0,
                                  mixup_prob=0.0, seed=0)
@@ -218,7 +221,7 @@ def test_yolo_trainer_augmentation_changes_training():
             "device_mosaic": False, "staged_host_epochs": False,
             "checkpoint_dir": "/tmp/iqc_yolo_aug_ab",
             "augmentation": aug,
-        })
+        }, mesh_config=MeshConfig(data_parallel=1, model_parallel=1))
         t.build(steps_per_epoch=len(loader))
         t.train(loader, val_loader=None, epochs=1)
         return t.metrics.history["train_loss"][0]
