@@ -116,6 +116,10 @@ def main() -> None:
             report["splits"][str(n)]["per_thresh_ap"] = [
                 round(float(v), 4) for v in m1["per_thresh_ap"]
             ]
+        if "per_class_ap50" in m1:
+            report["splits"][str(n)]["per_class_ap50"] = [
+                round(float(v), 4) for v in m1["per_class_ap50"]
+            ]
     print(json.dumps(report))
 
 

@@ -17,9 +17,11 @@ than taken from generator metadata.
 Replaces the external-dataset step the reference leaves to Ultralytics
 dataset.yaml plumbing (/root/reference/train/train_yolo.py:80-115).
 
-Run (TPU, ~15 min): python scripts/train_mvtec.py
+Run (TPU, ~80 min at the shipped 200-epoch + augmentation recipe;
+AUG=0 CLS_AUG=0 EPOCHS_DET=120 reproduces the faster r3 baseline):
+python scripts/train_mvtec.py
 Env: ROOT, CATEGORY, IMG_SIZE, EPOCHS_DET, EPOCHS_CLS, SEED,
-     N_PER_DEFECT, OUT_DET, OUT_CLS.
+     N_PER_DEFECT, OUT_DET, OUT_CLS, AUG, CLS_AUG, AUG_DEGREES, SKIP_DET.
 """
 
 import json
@@ -90,7 +92,7 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
             "degrees": float(os.environ.get("AUG_DEGREES", "10")),
             "translate": 0.1, "scale": 0.5,
             "fliplr": 0.5, "flipud": 0.3,
-        } if os.environ.get("AUG", "0") == "1" else None,
+        } if os.environ.get("AUG", "1") == "1" else None,
         "checkpoint_dir": "checkpoints/yolo_mvtec",
     })
     c = trainer.config
@@ -116,6 +118,8 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
             "best_mAP50": round(float(final["mAP50"]), 4),
             "val": {k: round(float(v), 4) for k, v in final.items()
                     if isinstance(v, (int, float))},
+            "per_class_ap50": [round(float(v), 4)
+                               for v in final.get("per_class_ap50", [])],
             "epochs": 0, "n_train": len(train_ds), "n_val": len(val_ds),
             "reused_checkpoint": out,
         }
@@ -128,6 +132,9 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
         "best_mAP50": round(float(report["best_mAP50"]), 4),
         "val": {k: round(float(v), 4) for k, v in final.items()
                 if isinstance(v, (int, float))},
+        # which class drags the mean (mask-derived-label diagnosis)
+        "per_class_ap50": [round(float(v), 4)
+                           for v in final.get("per_class_ap50", [])],
         "epochs": report["epochs_trained"],
         "n_train": len(train_ds), "n_val": len(val_ds),
     }
@@ -177,7 +184,7 @@ def train_classification(cat_dir: str, epochs: int, seed: int, out: str):
             "random_erasing": {"enabled": True, "probability": 0.25,
                                "scale": [0.02, 0.33]},
             "gaussian_blur": {"enabled": True, "probability": 0.1},
-        } if os.environ.get("CLS_AUG", "0") == "1" else None,
+        } if os.environ.get("CLS_AUG", "1") == "1" else None,
     })
     trainer.setup_data(train_ds, val_ds, val_ds)
     trainer.build(steps_per_epoch=len(trainer.train_loader))
@@ -230,7 +237,7 @@ def main() -> None:
     root = os.environ.get("ROOT", "data/mvtec_corpus")
     category = os.environ.get("CATEGORY", "metal_plate")
     img_size = int(os.environ.get("IMG_SIZE", "320"))
-    epochs_det = int(os.environ.get("EPOCHS_DET", "120"))
+    epochs_det = int(os.environ.get("EPOCHS_DET", "200"))
     epochs_cls = int(os.environ.get("EPOCHS_CLS", "60"))
     seed = int(os.environ.get("SEED", "42"))
     n_per_defect = int(os.environ.get("N_PER_DEFECT", "48"))
