@@ -130,3 +130,35 @@ def test_segment_rois_pallas_toggle_equality():
                                np.asarray(via_pallas.area), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(base.confidence),
                                np.asarray(via_pallas.confidence), rtol=1e-6)
+
+
+@pytest.mark.parametrize("shift_mode", ["slice", "matmul"])
+def test_shift_modes_and_grouping_match_xla(shift_mode):
+    """v2 kernel geometry: ROI grouping + both shift strategies must stay
+    bit-identical to the XLA path, including when N is not a multiple of
+    the group (padding) and across group sizes."""
+    rng = np.random.default_rng(5)
+    r = 64
+    seeds = rng.random((5, r, r)) < 0.01  # 5 % 4 != 0 -> pad path
+    allow = rng.random((5, r, r)) < 0.7
+
+    def xla_ref(s, a):
+        def body(_, m):
+            return imops.binary_dilate(m, 1) & a
+
+        grown = lax.fori_loop(0, 12, body, s)
+        return _clean_mask(grown)
+
+    want = np.asarray(xla_ref(jnp.asarray(seeds), jnp.asarray(allow)))
+    for group in (1, 4):
+        got = np.asarray(pallas_grow_clean(
+            jnp.asarray(seeds), jnp.asarray(allow), grow_iterations=12,
+            fill_iterations=16, group=group, shift_mode=shift_mode,
+            interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    masks = _random_masks(7, n=5, r=r)
+    want_c = np.asarray(_clean_mask(jnp.asarray(masks)))
+    got_c = np.asarray(pallas_clean(jnp.asarray(masks), group=4,
+                                    shift_mode=shift_mode, interpret=True))
+    np.testing.assert_array_equal(got_c, want_c)
