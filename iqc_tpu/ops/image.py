@@ -287,14 +287,21 @@ def adaptive_threshold(
     mask = x <=> local_weighted_mean - c/255. ``invert=True`` matches
     THRESH_BINARY_INV (dark defects: crack/scratch, segmentation.py:274-283).
     """
+    local = adaptive_local_mean(x, block_size, method)
+    thresh = local - c / 255.0
+    return (x < thresh) if invert else (x > thresh)
+
+
+def adaptive_local_mean(x: jnp.ndarray, block_size: int,
+                        method: str = "gaussian") -> jnp.ndarray:
+    """The local weighted mean behind ``adaptive_threshold``, exposed so a
+    caller needing both polarities (segmentation.py::_adaptive_segment)
+    computes the separable blur once instead of once per polarity."""
     radius = max(1, block_size // 2)
     if method == "gaussian":
         sigma = 0.3 * ((block_size - 1) * 0.5 - 1) + 0.8  # cv2's rule
-        local = gaussian_blur(x, sigma=sigma, radius=radius)
-    else:
-        local = box_blur(x, radius)
-    thresh = local - c / 255.0
-    return (x < thresh) if invert else (x > thresh)
+        return gaussian_blur(x, sigma=sigma, radius=radius)
+    return box_blur(x, radius)
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,36 @@ def grow_clean_batch(seeds: jnp.ndarray, allow: jnp.ndarray,
     return _clean_mask(mask)
 
 
+def morph_tails_batch(m_t_raw: jnp.ndarray, seeds: jnp.ndarray,
+                      allow: jnp.ndarray, iterations: int = 24,
+                      use_pallas=None):
+    """Both iteration-heavy tails of segment_rois: cleanup of the raw
+    threshold mask AND geodesic growth + cleanup of the region seeds.
+
+    The XLA path runs the geodesic loop on the seeds, then ONE
+    concatenated ``_clean_mask`` over [2N,R,R]: the ~26 sequential cleanup
+    passes are latency-bound at this size (398 GB/s of an 819 GB/s
+    roofline, docs/seg_pallas_ab_r4.json), so halving the pass count at
+    double width moves the same bytes closer to the roofline.
+    Bit-identical to running the two chains separately (_clean_mask is
+    local per pixel and independent along the batch dim)."""
+    p = use_pallas if use_pallas is not None else _use_pallas_morph()
+    if p:
+        return (clean_mask_batch(m_t_raw, use_pallas=True),
+                grow_clean_batch(seeds, allow, iterations, use_pallas=True))
+
+    def body(_, m):
+        return imops.binary_dilate(m, 1) & allow
+
+    grown = lax.fori_loop(0, iterations, body, seeds)
+    axis = m_t_raw.ndim - 3  # ROI axis (leading dims may be vmapped batch)
+    both = _clean_mask(jnp.concatenate([m_t_raw, grown], axis=axis))
+    n = m_t_raw.shape[axis]
+    m_t = lax.slice_in_dim(both, 0, n, axis=axis)
+    m_r = lax.slice_in_dim(both, n, 2 * n, axis=axis)
+    return m_t, m_r
+
+
 def _separation_confidence(roi: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Foreground/background separation in sigma units / 3, clamped [0,1]
     (segmentation.py:527-556)."""
@@ -146,9 +176,15 @@ def _edge_overlap_confidence(roi: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray
     return jnp.where((ratio < 0.01) | (ratio > 0.8), 0.3, conf)
 
 
-def _threshold_pre(roi: jnp.ndarray, adjust: jnp.ndarray, dark: jnp.ndarray):
-    """Otsu threshold with per-class bias, raw mask (pre-cleanup)."""
-    blurred = imops.gaussian_blur(roi, sigma=1.0)
+def _threshold_pre(roi: jnp.ndarray, adjust: jnp.ndarray, dark: jnp.ndarray,
+                   blurred: jnp.ndarray | None = None):
+    """Otsu threshold with per-class bias, raw mask (pre-cleanup).
+
+    ``blurred`` lets segment_rois share one sigma-1 Gaussian across the
+    threshold/region/watershed pre-passes (it was computed three times per
+    ROI; each separable blur moves ~260 MB/batch-512 through HBM)."""
+    if blurred is None:
+        blurred = imops.gaussian_blur(roi, sigma=1.0)
     t = imops.otsu_threshold(blurred) * adjust
     return jnp.where(dark, blurred < t, blurred > t)
 
@@ -163,20 +199,23 @@ def _adaptive_segment(roi: jnp.ndarray, dark: jnp.ndarray, block_size: int):
     """Adaptive Gaussian threshold + morphology (segmentation.py:248-298)."""
     lo, hi = jnp.min(roi), jnp.max(roi)
     norm = (roi - lo) / jnp.maximum(hi - lo, 1e-6)
-    m_dark = imops.adaptive_threshold(norm, block_size, 2.0, invert=True)
-    m_bright = imops.adaptive_threshold(norm, block_size, 2.0, invert=False)
-    mask = jnp.where(dark, m_dark, m_bright)
+    # one local-mean blur for both polarities (adaptive_threshold computes
+    # it per call; the comparison is the only part that differs)
+    thresh = imops.adaptive_local_mean(norm, block_size) - 2.0 / 255.0
+    mask = jnp.where(dark, norm < thresh, norm > thresh)
     mask = imops.binary_open(imops.binary_close(mask, 1), 1)
     mask = imops.binary_open(mask, 2)  # small-component removal equivalent
     return mask, _edge_overlap_confidence(norm, mask)
 
 
-def _watershed_segment(roi: jnp.ndarray, dark: jnp.ndarray):
+def _watershed_segment(roi: jnp.ndarray, dark: jnp.ndarray,
+                       blurred: jnp.ndarray | None = None):
     """Marker-based flood, reference-observable form (segmentation.py:300-346):
     skimage watershed labels every pixel from the markers, so the output
     mask covers the ROI whenever markers exist; confidence prefers ~3
     marker regions and ~20% coverage (segmentation.py:583-603)."""
-    blurred = imops.gaussian_blur(roi, sigma=1.0)
+    if blurred is None:
+        blurred = imops.gaussian_blur(roi, sigma=1.0)
     neg = -blurred
     probe = jnp.where(dark, blurred, neg)
     # regional extrema: pixels equal to the 3x3 window minimum
@@ -200,7 +239,8 @@ def _watershed_segment(roi: jnp.ndarray, dark: jnp.ndarray):
     return mask, conf
 
 
-def _region_pre(roi: jnp.ndarray, dark: jnp.ndarray):
+def _region_pre(roi: jnp.ndarray, dark: jnp.ndarray,
+                blurred: jnp.ndarray | None = None):
     """Region-growing seed computation (pre-iteration): returns
     (seeds, grow_ok, n_seeds).
 
@@ -208,7 +248,8 @@ def _region_pre(roi: jnp.ndarray, dark: jnp.ndarray):
     border ring (assumed background) rather than the whole ROI — a tight
     detection box is mostly defect, so whole-ROI statistics yield no
     >2-sigma seeds and an empty mask (observed on contamination blobs)."""
-    blurred = imops.gaussian_blur(roi, sigma=1.0)
+    if blurred is None:
+        blurred = imops.gaussian_blur(roi, sigma=1.0)
     h, w = roi.shape[-2:]
     margin = max(h // 8, 2)
     yy = lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -314,21 +355,24 @@ def segment_rois(
     # (docs/profile_int8_r4.json).
     def pre(roi, k):
         dk = table_lookup(CLASS_IS_DARK, k)
-        m_t_raw = _threshold_pre(roi, table_lookup(CLASS_THRESH_ADJUST, k), dk)
-        seeds, grow_ok, n_seeds = _region_pre(roi, dk)
-        return m_t_raw, seeds, grow_ok, n_seeds
+        # one sigma-1 Gaussian shared by the threshold/region/watershed
+        # pre-passes (was computed 3x per ROI)
+        blurred = imops.gaussian_blur(roi, sigma=1.0)
+        m_t_raw = _threshold_pre(roi, table_lookup(CLASS_THRESH_ADJUST, k),
+                                 dk, blurred=blurred)
+        seeds, grow_ok, n_seeds = _region_pre(roi, dk, blurred=blurred)
+        return m_t_raw, seeds, grow_ok, n_seeds, blurred
 
-    m_t_raw, seeds, grow_ok, n_seeds = jax.vmap(pre)(rois, cid)
+    m_t_raw, seeds, grow_ok, n_seeds, blurred = jax.vmap(pre)(rois, cid)
 
-    m_t = clean_mask_batch(m_t_raw)
-    m_r = grow_clean_batch(seeds, grow_ok, iterations=24)
+    m_t, m_r = morph_tails_batch(m_t_raw, seeds, grow_ok, iterations=24)
     m_r = m_r & (n_seeds > 0)[:, None, None]
 
-    def post(roi, k, ok, m_t_, m_r_, ns):
+    def post(roi, blur, k, ok, m_t_, m_r_, ns):
         dk = table_lookup(CLASS_IS_DARK, k)
         c_t = _separation_confidence(roi, m_t_)
         m_a, c_a = _adaptive_segment(roi, dk, block_size)
-        m_w, c_w = _watershed_segment(roi, dk)
+        m_w, c_w = _watershed_segment(roi, dk, blurred=blur)
         c_r = _region_confidence(m_r_, ns)
         masks_ = jnp.stack([m_t_, m_a, m_w, m_r_])
         confs_ = jnp.stack([c_t, c_a, c_w, c_r])
@@ -337,7 +381,7 @@ def segment_rois(
         conf = jnp.where(ok, confs_[mk], 0.0)
         return mask, conf
 
-    masks, confs = jax.vmap(post)(rois, cid, valid, m_t, m_r, n_seeds)
+    masks, confs = jax.vmap(post)(rois, blurred, cid, valid, m_t, m_r, n_seeds)
 
     area_px, perim_px = jax.vmap(mask_stats)(masks)
     area = area_px * scale_x * scale_y

@@ -253,6 +253,103 @@ def main() -> None:
         except Exception as e:  # signature drift: keep the table useful
             print(f"segmentation stage skipped: {e}", file=sys.stderr)
 
+    # 5b. segmentation sub-stages: where inside the 12-ms stage does the
+    # time go? (seg_pre = gray+crop+blur+otsu+seeds, seg_morph = the
+    # iteration tails, seg_post = adaptive+watershed+confidences+stats,
+    # seg_otsu = the histogram-matmul threshold alone)
+    from iqc_tpu.ops import segmentation as segops
+
+    rngs = np.random.default_rng(5)
+    rois_fix = jax.device_put(jnp.asarray(
+        rngs.uniform(0, 1, (batch, ms, roi, roi)).astype(np.float32)))
+    mask_fix = jax.device_put(jnp.asarray(
+        rngs.uniform(0, 1, (batch, ms, roi, roi)) < 0.25))
+    seeds_fix = jax.device_put(jnp.asarray(
+        rngs.uniform(0, 1, (batch, ms, roi, roi)) < 0.05))
+    allow_fix = jax.device_put(jnp.asarray(
+        rngs.uniform(0, 1, (batch, ms, roi, roi)) < 0.7))
+
+    def _flip(carry):
+        # data-dependent all-False bool: keeps the scan body unfoldable
+        # (CLAUDE.md rule 1d) without changing bool-input values
+        return (carry * 1e-30) > 1.0
+
+    def seg_pre_stage(carry, imgs, bxs, cls_):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        x = imgs.astype(jnp.float32) / 255.0 + eps
+        gray = imops.rgb_to_gray(x)
+
+        def one(g, boxes, cids):
+            rois_ = imops.crop_and_resize(g[..., None], boxes, (roi, roi))[..., 0]
+
+            def pre(r, k):
+                dk = segops.table_lookup(segops.CLASS_IS_DARK, k)
+                blurred = imops.gaussian_blur(r, sigma=1.0)
+                m_t_raw = segops._threshold_pre(
+                    r, segops.table_lookup(segops.CLASS_THRESH_ADJUST, k),
+                    dk, blurred=blurred)
+                seeds, grow_ok, n_seeds = segops._region_pre(
+                    r, dk, blurred=blurred)
+                return m_t_raw, seeds, grow_ok, n_seeds
+
+            return jax.vmap(pre)(rois_, cids)
+
+        return ssum(jax.vmap(one)(gray, bxs, cls_))
+
+    if want("seg_pre"):
+        per, fl = measure(scanloop(seg_pre_stage),
+                          (images_dev, seg_boxes, seg_cls),
+                          iters, trials, hoisted_jit)
+        results["seg_pre"] = (per, fl)
+
+    def seg_morph_stage(carry, mt, sd, al):
+        f = _flip(carry)
+        m_t, m_r = jax.vmap(
+            lambda a, b, c: segops.morph_tails_batch(a, b, c, iterations=24)
+        )(mt ^ f, sd ^ f, al ^ f)
+        return ssum((m_t, m_r))
+
+    if want("seg_morph"):
+        per, fl = measure(scanloop(seg_morph_stage),
+                          (mask_fix, seeds_fix, allow_fix),
+                          iters, trials, hoisted_jit)
+        results["seg_morph"] = (per, fl)
+
+    def seg_post_stage(carry, rs, mt, mr):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        rs = rs + eps
+
+        def one(r3, mt3, mr3):
+            def post(r, m_t_, m_r_):
+                dk = jnp.bool_(True)
+                c_t = segops._separation_confidence(r, m_t_)
+                m_a, c_a = segops._adaptive_segment(r, dk, 13)
+                m_w, c_w = segops._watershed_segment(r, dk, blurred=r)
+                c_r = segops._region_confidence(m_r_, jnp.sum(m_r_))
+                mask = m_t_ & m_a & m_w
+                area, perim = segops.mask_stats(mask)
+                return mask, c_t + c_a + c_w + c_r, area, perim
+
+            return jax.vmap(post)(r3, mt3, mr3)
+
+        return ssum(jax.vmap(one)(rs, mt, mr))
+
+    if want("seg_post"):
+        per, fl = measure(scanloop(seg_post_stage),
+                          (rois_fix, mask_fix, seeds_fix),
+                          iters, trials, hoisted_jit)
+        results["seg_post"] = (per, fl)
+
+    def seg_otsu_stage(carry, rs):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        t = jax.vmap(jax.vmap(imops.otsu_threshold))(rs + eps)
+        return ssum(t)
+
+    if want("seg_otsu"):
+        per, fl = measure(scanloop(seg_otsu_stage), (rois_fix,),
+                          iters, trials, hoisted_jit)
+        results["seg_otsu"] = (per, fl)
+
     # 6. full fused graph
     fwd = build_full_forward(yolo, resnet, (640, 640), max_det, kc,
                              classifier_input=ci,
