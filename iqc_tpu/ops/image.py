@@ -347,16 +347,36 @@ def _cross_step(mask: jnp.ndarray, dilate: bool) -> jnp.ndarray:
     return c & up & down & left & right
 
 
+def _diamond_step(mask: jnp.ndarray, radius: int, dilate: bool) -> jnp.ndarray:
+    """One dilate/erode by the L1 ball of ``radius`` as a single fused
+    pass over all (2r²+2r+1) shifted reads. Free (non-geodesic) dilation
+    composes exactly — cross (+) cross = diamond_2 — so one 13-point pass
+    replaces two sequential 5-point passes and moves half the HBM bytes
+    (the cleanup chains are latency-bound, docs/seg_pallas_ab_r4.json).
+    Zero padding: outside the image counts as empty, matching the
+    iterated _cross_step form bit-for-bit."""
+    pad = [(0, 0)] * (mask.ndim - 2) + [(radius, radius), (radius, radius)]
+    p = jnp.pad(mask, pad, constant_values=False)
+    h, w = mask.shape[-2], mask.shape[-1]
+    out = None
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius + abs(dy), radius - abs(dy) + 1):
+            view = p[..., radius + dy:radius + dy + h,
+                     radius + dx:radius + dx + w]
+            if out is None:
+                out = view
+            else:
+                out = (out | view) if dilate else (out & view)
+    return out
+
+
 def binary_dilate(mask: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
     """Dilation by a disk. Radii 1-2 use the exact cross/diamond
     decomposition (disk_1 = cross, disk_2 = cross (+) cross — identical
-    point sets) as fused shift-max passes; larger radii fall back to the
-    conv form."""
+    point sets) as one fused shift-max pass; larger radii fall back to
+    the conv form."""
     if radius <= 2:
-        m = mask.astype(bool)
-        for _ in range(radius):
-            m = _cross_step(m, dilate=True)
-        return m
+        return _diamond_step(mask.astype(bool), radius, dilate=True)
     k = _structuring(radius)
     return _morph_conv(mask.astype(jnp.float32), k) > 0.5
 
@@ -365,10 +385,7 @@ def binary_erode(mask: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
     """Erosion by a disk (outside the image counts as empty, so border
     pixels erode away — same as the zero-padded conv formulation)."""
     if radius <= 2:
-        m = mask.astype(bool)
-        for _ in range(radius):
-            m = _cross_step(m, dilate=False)
-        return m
+        return _diamond_step(mask.astype(bool), radius, dilate=False)
     k = _structuring(radius)
     return _morph_conv(mask.astype(jnp.float32), k) > (jnp.sum(k) - 0.5)
 
