@@ -102,7 +102,11 @@ def _calibrate(trials: int):
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    # default batch follows the measured r4 scaling curve on TPU v5e:
+    # 32 -> 34.4k, 64 -> 37.9k, 128 -> 40.8k img/min (docs/bench_scaling_r4
+    # .json); 128 is the throughput default, single-image latency is
+    # measured separately below (BENCH_SINGLE).
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))  # scan length K
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     full = os.environ.get("BENCH_FULL", "1") == "1"
@@ -130,6 +134,12 @@ def main() -> None:
             "model": {
                 "max_detections": int(os.environ.get("BENCH_MAX_DET", "300")),
                 "max_classified": int(os.environ.get("BENCH_MAX_CLS", "32")),
+                # batch-wide crop pool (0 = dense reference-shaped capacity;
+                # the headline). BENCH_CLS_POOL=4x sizes it at 4*batch —
+                # the typical-stream serving row (config.yaml comments).
+                "max_classified_pool": int(
+                    os.environ.get("BENCH_CLS_POOL", "0").replace("x", "")
+                ) * (batch if os.environ.get("BENCH_CLS_POOL", "").endswith("x") else 1),
             },
             "processing": {"input_size": [640, 640]},
         }
@@ -190,13 +200,13 @@ def main() -> None:
             yolo, resnet, (640, 640), m.max_detections, m.max_classified,
             classifier_input=ci,
             max_segmented=m.max_segmented, resnet_apply=resnet_apply,
-            yolo_apply=yolo_apply,
+            yolo_apply=yolo_apply, crop_pool=m.max_classified_pool,
         )
     else:
         fwd = build_ensemble_forward(
             yolo, resnet, (640, 640), m.max_detections, m.max_classified,
             classifier_input=ci, resnet_apply=resnet_apply,
-            yolo_apply=yolo_apply,
+            yolo_apply=yolo_apply, crop_pool=m.max_classified_pool,
         )
 
     def small_out(out):
@@ -273,6 +283,7 @@ def main() -> None:
         "yolo_stem": stem,
         "max_detections": m.max_detections,
         "max_classified_crops": m.max_classified,
+        "crop_pool": m.max_classified_pool,
         "classifier_input": ci,
         "yolo_int8": yolo_int8_on,
         "segmentation_included": full,

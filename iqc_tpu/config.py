@@ -53,6 +53,16 @@ class ModelConfig:
     # yolo_config.yaml:97); number of survivors that get per-crop ResNet.
     max_detections: int = 300
     max_classified: int = 32
+    # Batch-wide crop-classification pool (0 = off). When > 0, each batch
+    # classifies only its top-`max_classified_pool` REAL survivors (one
+    # static-shape ResNet forward over the pool) instead of every
+    # B*max_classified capacity slot; slots that don't fit degrade to the
+    # reference's mock refinement rule, exactly like beyond-max_classified
+    # slots do (models/ensemble.py::build_ensemble_forward). Sized for the
+    # expected defects-per-image of the stream (e.g. 4*batch). Results are
+    # identical to the dense path whenever the batch's valid detections
+    # fit the pool. TPU-first: turns padded-capacity FLOPs into real work.
+    max_classified_pool: int = 0
     # survivors segmented inside the fused graph (BASELINE config #5)
     max_segmented: int = 16
     seg_roi_size: int = 128
@@ -79,6 +89,8 @@ class ModelConfig:
             raise ValueError("num_classes must be >= 1")
         if self.max_classified > self.max_detections:
             raise ValueError("max_classified cannot exceed max_detections")
+        if self.max_classified_pool < 0:
+            raise ValueError("max_classified_pool must be >= 0")
         total = sum(self.ensemble_weights.values())
         if total <= 0:
             raise ValueError("ensemble weights must sum to a positive value")

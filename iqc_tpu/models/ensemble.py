@@ -80,6 +80,7 @@ def build_ensemble_forward(
     box_voting: bool = True,
     resnet_apply=None,
     yolo_apply=None,
+    crop_pool: int = 0,
 ):
     """Return the pure fused forward fn (jit it once, reuse forever).
 
@@ -88,6 +89,20 @@ def build_ensemble_forward(
     anchors/strides are runtime arguments (device arrays from
     ``make_anchors``), never closed-over constants — embedded array
     literals are pathological on the tunnel backend (ops/jit_utils.py).
+
+    ``crop_pool`` > 0 enables batch-wide crop compaction: instead of
+    unconditionally running the crop classifier on every one of the
+    B*max_classified capacity slots (most of which are padding on real QC
+    streams with a handful of defects per image), the top-``crop_pool``
+    REAL survivors across the whole batch are gathered into one static
+    pool and classified in a single ResNet forward. Slots that do not fit
+    (invalid padding, or valid overflow beyond the pool) degrade to the
+    reference's mock refinement rule — exactly the rule the dense path
+    already applies beyond max_classified (reference ensemble.py:186-195
+    mocks ALL of them). Results are bit-identical to the dense path for
+    every valid detection whenever the batch's total valid count fits the
+    pool; ``crop_classified`` reports which slots got the real network.
+    0 keeps the reference-shaped dense path (every capacity slot runs).
     """
     kc = max_classified
     if resnet_apply is None:
@@ -135,12 +150,47 @@ def build_ensemble_forward(
             )
         )(x, crop_boxes)  # [B,kc,ci,ci,3]
         crops_flat = imops.normalize_imagenet(crops.reshape(b * kc, ci, ci, 3))
-        crop_logits = resnet_apply(resnet_vars, crops_flat)
-        crop_probs = jax.nn.softmax(crop_logits.astype(jnp.float32), axis=-1)
-        crop_probs = crop_probs.reshape(b, kc, -1)
-        cc_conf = jnp.max(crop_probs, axis=-1)
-        cc_class = jnp.argmax(crop_probs, axis=-1).astype(jnp.int32)
-        cc_sev = classifier_severity(cc_class, cc_conf, sev_rules)
+        if crop_pool and crop_pool < b * kc:
+            # --- batch-wide compaction: one ResNet forward over the
+            # top-`crop_pool` REAL survivors of the whole batch ---
+            pool = crop_pool
+            flat_valid = det.valid[:, :kc].reshape(b * kc)
+            flat_scores = det.scores[:, :kc].reshape(b * kc).astype(jnp.float32)
+            flat_classes = det.classes[:, :kc].reshape(b * kc)
+            # valid slots sort strictly above invalid ones (scores live in
+            # [0,1], the +2 offset dominates), then by score
+            key = jnp.where(flat_valid, flat_scores + 2.0, flat_scores)
+            _, pool_idx = jax.lax.top_k(key, pool)          # unique indices
+            pooled_ok = flat_valid[pool_idx]                # real detections
+            pool_logits = resnet_apply(resnet_vars, crops_flat[pool_idx])
+            pool_probs = jax.nn.softmax(pool_logits.astype(jnp.float32), -1)
+            p_conf = jnp.max(pool_probs, axis=-1)
+            p_class = jnp.argmax(pool_probs, axis=-1).astype(jnp.int32)
+            # unpooled slots take the reference's mock refinement rule
+            # (conf*1.1 capped, YOLO class/severity — ensemble.py:186-195)
+            mock = jnp.minimum(flat_scores * 1.1, 1.0)
+            cc_conf = mock.at[pool_idx].set(
+                jnp.where(pooled_ok, p_conf, mock[pool_idx])
+            ).reshape(b, kc)
+            cc_class = flat_classes.at[pool_idx].set(
+                jnp.where(pooled_ok, p_class, flat_classes[pool_idx])
+            ).reshape(b, kc)
+            classified_kc = (
+                jnp.zeros((b * kc,), bool).at[pool_idx].set(pooled_ok)
+            ).reshape(b, kc)
+            cc_sev = jnp.where(
+                classified_kc,
+                classifier_severity(cc_class, cc_conf, sev_rules),
+                yolo_sev[:, :kc],
+            )
+        else:
+            crop_logits = resnet_apply(resnet_vars, crops_flat)
+            crop_probs = jax.nn.softmax(crop_logits.astype(jnp.float32), axis=-1)
+            crop_probs = crop_probs.reshape(b, kc, -1)
+            cc_conf = jnp.max(crop_probs, axis=-1)
+            cc_class = jnp.argmax(crop_probs, axis=-1).astype(jnp.int32)
+            cc_sev = classifier_severity(cc_class, cc_conf, sev_rules)
+            classified_kc = jnp.ones((b, kc), bool)
 
         # pad crop outputs back to K; beyond-Kc slots use the reference's
         # mock refinement rule (conf*1.1 capped, same class/severity —
@@ -152,7 +202,7 @@ def build_ensemble_forward(
         crop_class = jnp.concatenate([cc_class, det.classes[:, kc:]], axis=1)
         crop_sev = jnp.concatenate([cc_sev, yolo_sev[:, kc:]], axis=1)
         classified = jnp.concatenate(
-            [jnp.ones((b, kc), bool), jnp.zeros((b, pad), bool)], axis=1
+            [classified_kc, jnp.zeros((b, pad), bool)], axis=1
         )
 
         # --- fusion (ensemble.py:197-236) ---
@@ -200,6 +250,7 @@ def build_full_forward(
     roi_size: int = 128,
     resnet_apply=None,
     yolo_apply=None,
+    crop_pool: int = 0,
 ):
     """The complete streaming pipeline as ONE program (BASELINE config #5):
     detection + per-crop classification + fusion (build_ensemble_forward)
@@ -216,7 +267,7 @@ def build_full_forward(
 
     ens_fwd = build_ensemble_forward(
         yolo, resnet, input_size, max_detections, max_classified, classifier_input,
-        resnet_apply=resnet_apply, yolo_apply=yolo_apply,
+        resnet_apply=resnet_apply, yolo_apply=yolo_apply, crop_pool=crop_pool,
     )
     s = max_segmented
 
@@ -482,6 +533,7 @@ class EnsemblePredictor:
             self.max_detections, self.max_classified, classifier_input=ci,
             resnet_apply=self._resnet_apply,
             yolo_apply=self._yolo_apply,
+            crop_pool=self.config.model.max_classified_pool,
         )
         anchors, strides = make_anchors(feature_shapes(self.input_size), STRIDES)
         self._anchors = jax.device_put(anchors)
@@ -629,6 +681,7 @@ class EnsemblePredictor:
                     roi_size=m.seg_roi_size,
                     resnet_apply=self._resnet_apply,
                     yolo_apply=self._yolo_apply,
+                    crop_pool=m.max_classified_pool,
                 )
             )
         det, img, masks, seg_stats = jax.device_get(

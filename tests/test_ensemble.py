@@ -243,3 +243,123 @@ def test_ensemble_optimizer_batched_grid_search(predictor, rng):
     assert set(report["best_weights"]) == {"yolo", "resnet"}
     assert abs(sum(report["best_weights"].values()) - 1.0) < 1e-6
     assert len(report["history"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# Batch-wide crop-pool compaction (model.max_classified_pool)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pool_setup():
+    """Tiny models + a forward-builder parameterized by crop_pool, sharing
+    one set of weights so dense vs pooled outputs are comparable."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqc_tpu.models.ensemble import build_ensemble_forward
+    from iqc_tpu.models.resnet import ResNet50
+    from iqc_tpu.models.yolo import STRIDES, YOLOv8, feature_shapes
+    from iqc_tpu.ops.nms import make_anchors
+
+    yolo = YOLOv8(num_classes=5, width_mult=0.125, depth_mult=0.334,
+                  dtype=jnp.float32)
+    resnet = ResNet50(num_classes=5, stage_sizes=(1, 1, 1, 1),
+                      dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    yv = yolo.init(rng, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    rv = resnet.init(rng, jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    anc, strd = make_anchors(feature_shapes((64, 64)), STRIDES)
+
+    def make(pool):
+        return jax.jit(build_ensemble_forward(
+            yolo, resnet, (64, 64), 16, 4, classifier_input=32,
+            crop_pool=pool,
+        ))
+
+    import numpy as np
+
+    imgs = np.random.default_rng(7).integers(
+        0, 255, (2, 64, 64, 3), dtype=np.uint8)
+
+    def run(fwd, conf):
+        import jax.numpy as jnp
+
+        return fwd(yv, rv, jnp.asarray(imgs), jnp.float32(conf),
+                   jnp.float32(0.45), jnp.float32(0.6), jnp.float32(0.4),
+                   anc, strd)
+
+    return make, run
+
+
+def test_crop_pool_matches_dense_within_capacity(pool_setup):
+    """When every valid detection fits the pool, the pooled graph equals
+    the dense graph on every valid slot and every valid-masked output:
+    same crops through the same network."""
+    make, run = pool_setup
+    kc, b = 4, 2
+    dense = make(0)
+    probe = run(dense, 0.004)
+    scores = np.asarray(probe.yolo_scores[:, :kc])
+    # median threshold leaves ~half the capacity slots valid, so the
+    # b*kc-1 pool is guaranteed to cover every valid slot
+    t = float(np.median(scores)) + 1e-6
+    out_d = run(dense, t)
+    out_p = run(make(b * kc - 1), t)
+    v = np.asarray(out_d.valid)
+    nv = int(v[:, :kc].sum())
+    if nv == 0 or nv >= b * kc:
+        pytest.skip(f"degenerate valid count {nv} at this seed")
+    np.testing.assert_array_equal(v, np.asarray(out_p.valid))
+    np.testing.assert_allclose(
+        np.asarray(out_d.boxes), np.asarray(out_p.boxes), rtol=0, atol=0)
+    vk = v[:, :kc]
+    for name in ("crop_class", "crop_conf", "crop_severity",
+                 "crop_classified", "final_severity"):
+        a = np.asarray(getattr(out_d, name))[:, :kc][vk]
+        bb = np.asarray(getattr(out_p, name))[:, :kc][vk]
+        np.testing.assert_allclose(a, bb, rtol=0, atol=0, err_msg=name)
+    # fusion outputs are valid-masked, so they must match everywhere
+    np.testing.assert_allclose(
+        np.asarray(out_d.ensemble_conf), np.asarray(out_p.ensemble_conf),
+        rtol=0, atol=0)
+    np.testing.assert_array_equal(
+        np.asarray(out_d.severity_counts), np.asarray(out_p.severity_counts))
+
+
+def test_crop_pool_overflow_degrades_to_mock_rule(pool_setup):
+    """Valid slots beyond the pool take the reference's mock refinement
+    (conf*1.1 capped, YOLO class, YOLO severity) and report
+    crop_classified=False — the same contract as beyond-max_classified."""
+    make, run = pool_setup
+    kc = 4
+    out = run(make(1), 0.004)
+    v = np.asarray(out.valid[:, :kc])
+    if int(v.sum()) < 3:
+        pytest.skip("needs >=3 valid detections at this seed")
+    classified = np.asarray(out.crop_classified[:, :kc])
+    assert classified.sum() == 1, "pool=1 must classify exactly one slot"
+    # the classified slot is the globally best-scoring valid detection
+    scores = np.where(v, np.asarray(out.yolo_scores[:, :kc]), -1.0)
+    bi, bj = np.unravel_index(np.argmax(scores), scores.shape)
+    assert classified[bi, bj]
+    # every other valid slot follows the mock rule exactly
+    mock = np.minimum(np.asarray(out.yolo_scores[:, :kc]) * 1.1, 1.0)
+    rest = v & ~classified
+    np.testing.assert_allclose(
+        np.asarray(out.crop_conf[:, :kc])[rest], mock[rest], rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(out.crop_class[:, :kc])[rest],
+        np.asarray(out.classes[:, :kc])[rest])
+    np.testing.assert_array_equal(
+        np.asarray(out.crop_severity[:, :kc])[rest],
+        np.asarray(out.yolo_severity[:, :kc])[rest])
+
+
+def test_crop_pool_config_validation():
+    from iqc_tpu.config import SystemConfig
+
+    cfg = SystemConfig.from_dict({"model": {"max_classified_pool": 128}})
+    assert cfg.model.max_classified_pool == 128
+    with pytest.raises(ValueError):
+        SystemConfig.from_dict({"model": {"max_classified_pool": -1}})
