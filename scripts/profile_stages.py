@@ -205,6 +205,43 @@ def main() -> None:
                           iters, trials, hoisted_jit)
         results["crop_resnet"] = (per, fl)
 
+    # 3b. crop-pool variant (model.max_classified_pool, commit 68f1c89):
+    # same extraction, one ResNet forward over CLS_POOL gathered crops.
+    # Scores fixed, all slots valid — cost is validity-independent anyway.
+    pool = int(os.environ.get("CLS_POOL", "0"))
+    scores_fix = jax.device_put(jnp.asarray(
+        np.random.default_rng(6).uniform(0, 1, (batch * kc,)).astype(np.float32)))
+
+    def crop_pool_stage(carry, rv, imgs, bxs, sc):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        x = imgs.astype(jnp.float32) / 255.0 + eps
+        crops = jax.vmap(lambda img, bx: imops.crop_and_resize(img, bx, (ci, ci)))(x, bxs)
+        flat = imops.normalize_imagenet(crops.reshape(batch * kc, ci, ci, 3))
+        _, idx = jax.lax.top_k(sc, pool)
+        logits = _resnet_fwd(rv, flat[idx])
+        out = jnp.zeros((batch * kc,), jnp.float32).at[idx].set(
+            jnp.max(logits.astype(jnp.float32), axis=-1))
+        return ssum(out)
+
+    if pool and want("crop_pool"):
+        per, fl = measure(scanloop(crop_pool_stage),
+                          (resnet_vars, images_dev, boxes_fix, scores_fix),
+                          iters, trials, hoisted_jit)
+        results[f"crop_pool_{pool}"] = (per, fl)
+
+    # 3c. extraction alone (crop+resize+normalize, no classifier): the
+    # pooled graph's residual extraction cost over all B*Kc slots
+    def crop_extract_stage(carry, imgs, bxs):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        x = imgs.astype(jnp.float32) / 255.0 + eps
+        crops = jax.vmap(lambda img, bx: imops.crop_and_resize(img, bx, (ci, ci)))(x, bxs)
+        return ssum(imops.normalize_imagenet(crops.reshape(batch * kc, ci, ci, 3)))
+
+    if want("crop_extract"):
+        per, fl = measure(scanloop(crop_extract_stage), (images_dev, boxes_fix),
+                          iters, trials, hoisted_jit)
+        results["crop_extract"] = (per, fl)
+
     # 4. global classifier branch
     from iqc_tpu.models.resnet import preprocess_for_classifier
 
@@ -350,11 +387,12 @@ def main() -> None:
                           iters, trials, hoisted_jit)
         results["seg_otsu"] = (per, fl)
 
-    # 6. full fused graph
+    # 6. full fused graph (CLS_POOL>0 profiles the pooled serving graph)
     fwd = build_full_forward(yolo, resnet, (640, 640), max_det, kc,
                              classifier_input=ci,
                              max_segmented=m.max_segmented,
-                             resnet_apply=resnet_apply, yolo_apply=yolo_apply)
+                             resnet_apply=resnet_apply, yolo_apply=yolo_apply,
+                             crop_pool=pool)
 
     def full_stage(carry, yv, rv, imgs, a, s):
         eps = (carry * 1e-30).astype(imgs.dtype)
