@@ -280,3 +280,45 @@ def test_sharded_classifier_step_layout_partitions_batch():
     assert "all-reduce" in compiled.as_text()
     out_sh = _flat_shardings(compiled.output_shardings)
     assert out_sh and all(s.is_fully_replicated for s in out_sh)
+
+
+def test_sharded_pooled_ensemble_matches_single_device(rng):
+    """The crop-pooled graph (model.max_classified_pool) under batch
+    sharding: the batch-global top_k/gather/scatter must survive GSPMD
+    (collectives inserted, results identical to the single-device run)."""
+    from iqc_tpu.config import SystemConfig
+    from iqc_tpu.models.ensemble import EnsemblePredictor
+
+    cfg = SystemConfig.from_dict(
+        {
+            "model": {
+                "yolo_weights": "", "resnet_weights": "",
+                "width_mult": 0.125, "depth_mult": 0.334,
+                "max_detections": 16, "max_classified": 4,
+                "max_classified_pool": 6,
+                "confidence_threshold": 0.004, "compute_dtype": "float32",
+                "classifier_input": 64, "resnet_stages": [1, 1, 1, 1],
+            },
+            "processing": {"batch_size": 8, "input_size": [96, 96],
+                           "preprocessing": {"resize": [96, 96]}},
+        }
+    )
+    pred = EnsemblePredictor(config=cfg)
+    images = rng.integers(0, 255, (8, 96, 96, 3), dtype=np.uint8)
+
+    out_single = pred.run(images)
+    out_sharded = pred.run_sharded(images)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_single.valid), np.asarray(out_sharded.valid))
+    np.testing.assert_array_equal(
+        np.asarray(out_single.crop_classified),
+        np.asarray(out_sharded.crop_classified))
+    assert np.asarray(out_single.crop_classified).sum() <= 6
+    v = np.asarray(out_single.valid)
+    np.testing.assert_allclose(
+        np.asarray(out_single.ensemble_conf)[v],
+        np.asarray(out_sharded.ensemble_conf)[v], rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out_single.severity_counts),
+        np.asarray(out_sharded.severity_counts))
