@@ -140,6 +140,11 @@ def main() -> None:
                 "max_classified_pool": int(
                     os.environ.get("BENCH_CLS_POOL", "0").replace("x", "")
                 ) * (batch if os.environ.get("BENCH_CLS_POOL", "").endswith("x") else 1),
+                # batch-wide segmentation pool, same convention
+                # (BENCH_SEG_POOL=2x => 2*batch ROIs segmented per batch)
+                "max_segmented_pool": int(
+                    os.environ.get("BENCH_SEG_POOL", "0").replace("x", "")
+                ) * (batch if os.environ.get("BENCH_SEG_POOL", "").endswith("x") else 1),
             },
             "processing": {"input_size": [640, 640]},
         }
@@ -201,6 +206,7 @@ def main() -> None:
             classifier_input=ci,
             max_segmented=m.max_segmented, resnet_apply=resnet_apply,
             yolo_apply=yolo_apply, crop_pool=m.max_classified_pool,
+            seg_pool=m.max_segmented_pool,
         )
     else:
         fwd = build_ensemble_forward(
@@ -284,6 +290,7 @@ def main() -> None:
         "max_detections": m.max_detections,
         "max_classified_crops": m.max_classified,
         "crop_pool": m.max_classified_pool,
+        "seg_pool": m.max_segmented_pool,
         "classifier_input": ci,
         "yolo_int8": yolo_int8_on,
         "segmentation_included": full,

@@ -65,6 +65,15 @@ class ModelConfig:
     max_classified_pool: int = 0
     # survivors segmented inside the fused graph (BASELINE config #5)
     max_segmented: int = 16
+    # Batch-wide segmentation pool (0 = off), the mirror of
+    # max_classified_pool for the segmentation stage: each batch segments
+    # only its top-`max_segmented_pool` REAL survivors in one flat
+    # segment_rois call instead of every B*max_segmented capacity slot;
+    # slots that don't fit produce the dense path's invalid-slot outputs
+    # (empty mask, zero stats). Identical to the dense path whenever the
+    # batch's valid detections fit the pool (models/ensemble.py::
+    # build_full_forward).
+    max_segmented_pool: int = 0
     seg_roi_size: int = 128
     reg_max: int = 16
     width_mult: float = 0.25   # YOLOv8n
@@ -91,6 +100,8 @@ class ModelConfig:
             raise ValueError("max_classified cannot exceed max_detections")
         if self.max_classified_pool < 0:
             raise ValueError("max_classified_pool must be >= 0")
+        if self.max_segmented_pool < 0:
+            raise ValueError("max_segmented_pool must be >= 0")
         total = sum(self.ensemble_weights.values())
         if total <= 0:
             raise ValueError("ensemble weights must sum to a positive value")

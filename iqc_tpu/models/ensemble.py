@@ -251,6 +251,7 @@ def build_full_forward(
     resnet_apply=None,
     yolo_apply=None,
     crop_pool: int = 0,
+    seg_pool: int = 0,
 ):
     """The complete streaming pipeline as ONE program (BASELINE config #5):
     detection + per-crop classification + fusion (build_ensemble_forward)
@@ -262,8 +263,21 @@ def build_full_forward(
     Returns (det [B,K,15], img [B,4+C], masks [B,S,R,R] bool,
     seg_stats [B,S,5]) — unpack with unpack_outputs /
     ImageSegmentator._unpack.
+
+    ``seg_pool`` > 0 enables batch-wide segmentation compaction, the mirror
+    of ``crop_pool``: instead of segmenting every one of the
+    B*max_segmented capacity slots (mostly padding on real QC streams),
+    the top-``seg_pool`` REAL survivors across the whole batch are gathered
+    and segmented in ONE flat ``segment_rois`` call. ROI extraction stays
+    dense (it is matmul-cheap — ~0.3 ms/batch-32 vs ~12 ms of method
+    compute, docs/profile_int8_r4.json) so pooled slots see bit-identical
+    ROIs. Slots that do not fit the pool produce exactly what the dense
+    path produces for invalid slots: empty mask, zero stats, the
+    class-derived method id. 0 keeps the dense path.
     """
-    from iqc_tpu.ops.segmentation import segment_rois
+    from iqc_tpu.ops.segmentation import (
+        CLASS_TO_METHOD, segment_rois, table_lookup,
+    )
 
     ens_fwd = build_ensemble_forward(
         yolo, resnet, input_size, max_detections, max_classified, classifier_input,
@@ -282,6 +296,52 @@ def build_full_forward(
             x = imops.resize_bilinear(x, input_size)
         gray = imops.rgb_to_gray(x)
 
+        det, img = pack_outputs(out)
+        b = out.valid.shape[0]
+
+        if seg_pool and seg_pool < b * s:
+            # --- batch-wide compaction: segment only the top-`seg_pool`
+            # REAL survivors of the whole batch (mirror of crop_pool) ---
+            sboxes = out.boxes[:, :s].reshape(b * s, 4)
+            scid = out.classes[:, :s].reshape(b * s)
+            sval = out.valid[:, :s].reshape(b * s)
+            sscore = out.yolo_scores[:, :s].reshape(b * s).astype(jnp.float32)
+            # valid slots sort strictly above invalid (scores in [0,1])
+            key = jnp.where(sval, sscore + 2.0, sscore)
+            _, pidx = jax.lax.top_k(key, seg_pool)     # unique flat indices
+            pok = sval[pidx]
+            # extraction stays dense: pooled slots get bit-identical ROIs
+            rois_all = jax.vmap(
+                lambda g, bx: imops.crop_and_resize(
+                    g[..., None], bx, (roi_size, roi_size)
+                )[..., 0]
+            )(gray, out.boxes[:, :s]).reshape(b * s, roi_size, roi_size)
+            pb = sboxes[pidx]
+            bw = jnp.maximum(pb[:, 2] - pb[:, 0], 1.0)
+            bh = jnp.maximum(pb[:, 3] - pb[:, 1], 1.0)
+            sp = segment_rois(
+                rois_all[pidx], scid[pidx], pok, bw / roi_size, bh / roi_size
+            )
+            # scatter back; unpooled slots keep the dense path's
+            # invalid-slot outputs (empty mask, zero stats, class method)
+            masks = (
+                jnp.zeros((b * s, roi_size, roi_size), bool)
+                .at[pidx].set(sp.masks)
+                .reshape(b, s, roi_size, roi_size)
+            )
+            zero = jnp.zeros((b * s,), jnp.float32)
+            scat = lambda v: (
+                zero.at[pidx].set(v.astype(jnp.float32)).reshape(b, s)
+            )
+            method_all = table_lookup(
+                CLASS_TO_METHOD, jnp.clip(scid, 0, len(CLASS_TO_METHOD) - 1)
+            ).astype(jnp.float32).reshape(b, s)
+            seg_stats = jnp.stack(
+                [scat(sp.area), scat(sp.perimeter), scat(sp.compactness),
+                 scat(sp.confidence), method_all], axis=-1
+            )
+            return det, img, masks, seg_stats
+
         def seg_one(g, boxes, cids, valid):
             rois = imops.crop_and_resize(
                 g[..., None], boxes, (roi_size, roi_size)
@@ -293,7 +353,6 @@ def build_full_forward(
         seg = jax.vmap(seg_one)(
             gray, out.boxes[:, :s], out.classes[:, :s], out.valid[:, :s]
         )
-        det, img = pack_outputs(out)
         seg_stats = jnp.stack(
             [seg.area, seg.perimeter, seg.compactness,
              seg.confidence, seg.method.astype(jnp.float32)], axis=-1
@@ -682,6 +741,7 @@ class EnsemblePredictor:
                     resnet_apply=self._resnet_apply,
                     yolo_apply=self._yolo_apply,
                     crop_pool=m.max_classified_pool,
+                    seg_pool=m.max_segmented_pool,
                 )
             )
         det, img, masks, seg_stats = jax.device_get(

@@ -290,6 +290,34 @@ def main() -> None:
         except Exception as e:  # signature drift: keep the table useful
             print(f"segmentation stage skipped: {e}", file=sys.stderr)
 
+    # 5a. seg-pool variant (model.max_segmented_pool): dense extraction,
+    # ONE flat segment_rois over SEG_POOL gathered ROIs. Scores fixed, all
+    # slots valid — pool cost is validity-independent anyway.
+    spool = int(os.environ.get("SEG_POOL", "0"))
+    seg_scores = jax.device_put(jnp.asarray(
+        np.random.default_rng(9).uniform(0, 1, (batch * ms,)).astype(np.float32)))
+
+    def seg_pool_stage(carry, imgs, bxs, cls_, sc):
+        eps = (carry * 1e-30).astype(jnp.float32)
+        x = imgs.astype(jnp.float32) / 255.0 + eps
+        gray = imops.rgb_to_gray(x)
+        rois = jax.vmap(
+            lambda g, bx: imops.crop_and_resize(g[..., None], bx, (roi, roi))[..., 0]
+        )(gray, bxs).reshape(batch * ms, roi, roi)
+        _, idx = jax.lax.top_k(sc, spool)
+        fb = bxs.reshape(batch * ms, 4)[idx]
+        bw = jnp.maximum(fb[:, 2] - fb[:, 0], 1.0)
+        bh = jnp.maximum(fb[:, 3] - fb[:, 1], 1.0)
+        out = segment_rois(rois[idx], cls_.reshape(batch * ms)[idx],
+                           jnp.ones((spool,), bool), bw / roi, bh / roi)
+        return ssum(out)
+
+    if spool and want("seg_pool"):
+        per, fl = measure(scanloop(seg_pool_stage),
+                          (images_dev, seg_boxes, seg_cls, seg_scores),
+                          iters, trials, hoisted_jit)
+        results[f"seg_pool_{spool}"] = (per, fl)
+
     # 5b. segmentation sub-stages: where inside the 12-ms stage does the
     # time go? (seg_pre = gray+crop+blur+otsu+seeds, seg_morph = the
     # iteration tails, seg_post = adaptive+watershed+confidences+stats,
@@ -387,12 +415,13 @@ def main() -> None:
                           iters, trials, hoisted_jit)
         results["seg_otsu"] = (per, fl)
 
-    # 6. full fused graph (CLS_POOL>0 profiles the pooled serving graph)
+    # 6. full fused graph (CLS_POOL/SEG_POOL>0 profile the pooled serving
+    # graph)
     fwd = build_full_forward(yolo, resnet, (640, 640), max_det, kc,
                              classifier_input=ci,
                              max_segmented=m.max_segmented,
                              resnet_apply=resnet_apply, yolo_apply=yolo_apply,
-                             crop_pool=pool)
+                             crop_pool=pool, seg_pool=spool)
 
     def full_stage(carry, yv, rv, imgs, a, s):
         eps = (carry * 1e-30).astype(imgs.dtype)

@@ -363,3 +363,107 @@ def test_crop_pool_config_validation():
     assert cfg.model.max_classified_pool == 128
     with pytest.raises(ValueError):
         SystemConfig.from_dict({"model": {"max_classified_pool": -1}})
+
+
+# ---------------------------------------------------------------------------
+# Batch-wide segmentation-pool compaction (model.max_segmented_pool)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def seg_pool_setup():
+    """Tiny full fused graph (detection + crops + segmentation)
+    parameterized by seg_pool, sharing one set of weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from iqc_tpu.models.ensemble import build_full_forward
+    from iqc_tpu.models.resnet import ResNet50
+    from iqc_tpu.models.yolo import STRIDES, YOLOv8, feature_shapes
+    from iqc_tpu.ops.nms import make_anchors
+
+    yolo = YOLOv8(num_classes=5, width_mult=0.125, depth_mult=0.334,
+                  dtype=jnp.float32)
+    resnet = ResNet50(num_classes=5, stage_sizes=(1, 1, 1, 1),
+                      dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    yv = yolo.init(rng, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    rv = resnet.init(rng, jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    anc, strd = make_anchors(feature_shapes((64, 64)), STRIDES)
+
+    def make(pool):
+        return jax.jit(build_full_forward(
+            yolo, resnet, (64, 64), 16, 4, classifier_input=32,
+            max_segmented=4, roi_size=32, seg_pool=pool,
+        ))
+
+    imgs = np.random.default_rng(7).integers(
+        0, 255, (2, 64, 64, 3), dtype=np.uint8)
+
+    def run(fwd, conf):
+        import jax.numpy as jnp
+
+        det, img, masks, stats = fwd(
+            yv, rv, jnp.asarray(imgs), jnp.float32(conf), jnp.float32(0.45),
+            jnp.float32(0.6), jnp.float32(0.4), anc, strd)
+        from iqc_tpu.models.ensemble import unpack_outputs
+
+        return (unpack_outputs(np.asarray(det), np.asarray(img)),
+                np.asarray(masks), np.asarray(stats))
+
+    return make, run
+
+
+def test_seg_pool_matches_dense_within_capacity(seg_pool_setup):
+    """When every valid detection fits the pool, the pooled graph produces
+    the SAME masks and stats as the dense graph on every slot: dense ROI
+    extraction feeds identical crops through identical per-ROI methods,
+    and unpooled slots reproduce the dense invalid-slot outputs."""
+    make, run = seg_pool_setup
+    s, b = 4, 2
+    dense = make(0)
+    probe, _, _ = run(dense, 0.004)
+    scores = np.asarray(probe.yolo_scores[:, :s])
+    t = float(np.median(scores)) + 1e-6
+    out_d, masks_d, stats_d = run(dense, t)
+    out_p, masks_p, stats_p = run(make(b * s - 1), t)
+    v = np.asarray(out_d.valid)[:, :s]
+    nv = int(v.sum())
+    if nv == 0 or nv >= b * s:
+        pytest.skip(f"degenerate valid count {nv} at this seed")
+    np.testing.assert_array_equal(np.asarray(out_d.valid),
+                                  np.asarray(out_p.valid))
+    np.testing.assert_array_equal(masks_d, masks_p)
+    np.testing.assert_allclose(stats_d, stats_p, rtol=0, atol=1e-6)
+
+
+def test_seg_pool_overflow_degrades_to_empty(seg_pool_setup):
+    """Valid slots beyond the pool produce the dense path's invalid-slot
+    outputs: empty mask + zero area/perimeter/confidence; the one pooled
+    slot is the globally best-scoring valid detection and matches dense."""
+    make, run = seg_pool_setup
+    s = 4
+    out_d, masks_d, stats_d = run(make(0), 0.004)
+    out_p, masks_p, stats_p = run(make(1), 0.004)
+    v = np.asarray(out_d.valid)[:, :s]
+    if int(v.sum()) < 3:
+        pytest.skip("needs >=3 valid detections at this seed")
+    scores = np.where(v, np.asarray(out_d.yolo_scores)[:, :s], -1.0)
+    bi, bj = np.unravel_index(np.argmax(scores), scores.shape)
+    np.testing.assert_array_equal(masks_p[bi, bj], masks_d[bi, bj])
+    np.testing.assert_allclose(stats_p[bi, bj], stats_d[bi, bj],
+                               rtol=0, atol=1e-6)
+    rest = np.ones_like(v, bool)
+    rest[bi, bj] = False
+    assert not masks_p[rest].any(), "unpooled slots must have empty masks"
+    # area/perimeter/compactness/confidence zero; method stays class-derived
+    assert np.abs(stats_p[rest][:, :4]).max() == 0.0
+
+
+def test_seg_pool_config_validation():
+    from iqc_tpu.config import SystemConfig
+
+    cfg = SystemConfig.from_dict({"model": {"max_segmented_pool": 64}})
+    assert cfg.model.max_segmented_pool == 64
+    with pytest.raises(ValueError):
+        SystemConfig.from_dict({"model": {"max_segmented_pool": -1}})
