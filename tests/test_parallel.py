@@ -322,3 +322,46 @@ def test_sharded_pooled_ensemble_matches_single_device(rng):
     np.testing.assert_array_equal(
         np.asarray(out_single.severity_counts),
         np.asarray(out_sharded.severity_counts))
+
+
+def test_sharded_seg_pooled_full_graph_matches_single_device(rng):
+    """The seg-pooled FULL graph (model.max_segmented_pool) under batch
+    sharding: the batch-global top_k/gather/scatter across the sharded
+    batch*S axis must survive GSPMD with identical masks and stats."""
+    from iqc_tpu.config import MeshConfig
+    from iqc_tpu.models.ensemble import build_full_forward
+    from iqc_tpu.models.resnet import ResNet50
+    from iqc_tpu.models.yolo import STRIDES, YOLOv8, feature_shapes
+    from iqc_tpu.ops.nms import make_anchors
+
+    yolo = YOLOv8(num_classes=5, width_mult=0.125, depth_mult=0.334,
+                  dtype=jnp.float32)
+    resnet = ResNet50(num_classes=5, stage_sizes=(1, 1, 1, 1),
+                      dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    yv = yolo.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+    rv = resnet.init(key, jnp.zeros((1, 32, 32, 3), jnp.float32), train=False)
+    anc, strd = make_anchors(feature_shapes((64, 64)), STRIDES)
+    fwd = jax.jit(build_full_forward(
+        yolo, resnet, (64, 64), 16, 4, classifier_input=32,
+        max_segmented=2, roi_size=32, seg_pool=6,
+    ))
+    imgs = rng.integers(0, 255, (8, 64, 64, 3), dtype=np.uint8)
+    scalars = (jnp.float32(0.004), jnp.float32(0.45),
+               jnp.float32(0.6), jnp.float32(0.4))
+
+    det_s, img_s, masks_s, stats_s = jax.device_get(
+        fwd(yv, rv, jnp.asarray(imgs), *scalars, anc, strd))
+
+    spec = create_mesh(MeshConfig())
+    batch = jax.device_put(jnp.asarray(imgs), data_parallel_sharding(spec, 4))
+    yv_r, rv_r, anc_r, strd_r = replicate(spec, (yv, rv, anc, strd))
+    det_p, img_p, masks_p, stats_p = jax.device_get(
+        fwd(yv_r, rv_r, batch, *scalars, anc_r, strd_r))
+
+    # GSPMD reassociates float reductions: last-ulp drift on the float
+    # columns is expected; validity/severity ints and masks must agree.
+    np.testing.assert_allclose(det_s, det_p, rtol=2e-4, atol=2e-5)
+    np.testing.assert_array_equal(det_s[..., 6], det_p[..., 6])  # valid
+    np.testing.assert_array_equal(masks_s, masks_p)
+    np.testing.assert_allclose(stats_s, stats_p, rtol=2e-4, atol=2e-5)
