@@ -103,9 +103,10 @@ def _calibrate(trials: int):
 
 def main() -> None:
     # default batch follows the measured r4 scaling curve on TPU v5e:
-    # 32 -> 34.4k, 64 -> 37.9k, 128 -> 40.8k img/min (docs/bench_scaling_r4
-    # .json); 128 is the throughput default, single-image latency is
-    # measured separately below (BENCH_SINGLE).
+    # 32 -> 34.4k, 64 -> 37.9k, 128 -> 40.8k img/min dense; 130.5k img/min
+    # at batch 128 with the r4 default survivor pools
+    # (docs/bench_b128_pooled_r4.json). Single-image latency is measured
+    # separately below (BENCH_SINGLE).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))  # scan length K
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
@@ -134,17 +135,19 @@ def main() -> None:
             "model": {
                 "max_detections": int(os.environ.get("BENCH_MAX_DET", "300")),
                 "max_classified": int(os.environ.get("BENCH_MAX_CLS", "32")),
-                # batch-wide crop pool (0 = dense reference-shaped capacity;
-                # the headline). BENCH_CLS_POOL=4x sizes it at 4*batch —
-                # the typical-stream serving row (config.yaml comments).
+                # batch-wide crop pool: BENCH_CLS_POOL=4x sizes it at
+                # 4*batch. Default 4x since r4 (= the serving default,
+                # config.yaml) — parity validated in docs/pool_parity_r4
+                # .json, worth 3.2x at batch 128. BENCH_CLS_POOL=0 reverts
+                # to the dense reference-shaped capacity graph.
                 "max_classified_pool": int(
-                    os.environ.get("BENCH_CLS_POOL", "0").replace("x", "")
-                ) * (batch if os.environ.get("BENCH_CLS_POOL", "").endswith("x") else 1),
+                    os.environ.get("BENCH_CLS_POOL", "4x").replace("x", "")
+                ) * (batch if os.environ.get("BENCH_CLS_POOL", "4x").endswith("x") else 1),
                 # batch-wide segmentation pool, same convention
                 # (BENCH_SEG_POOL=2x => 2*batch ROIs segmented per batch)
                 "max_segmented_pool": int(
-                    os.environ.get("BENCH_SEG_POOL", "0").replace("x", "")
-                ) * (batch if os.environ.get("BENCH_SEG_POOL", "").endswith("x") else 1),
+                    os.environ.get("BENCH_SEG_POOL", "2x").replace("x", "")
+                ) * (batch if os.environ.get("BENCH_SEG_POOL", "2x").endswith("x") else 1),
             },
             "processing": {"input_size": [640, 640]},
         }
@@ -181,7 +184,27 @@ def main() -> None:
 
     yolo_apply = None
     yolo_int8_on = os.environ.get("BENCH_YOLO_INT8", "1") == "1"
-    if yolo_int8_on:
+    yolo_stream_on = os.environ.get("BENCH_YOLO_INT8_STREAM", "0") == "1"
+    if yolo_stream_on:
+        # v2: int8-RESIDENT activations (models/yolo_int8_stream.py) —
+        # per-tensor scales folded into the weights; codes stay int8 in
+        # HBM between convs instead of v1's bf16 round-trips
+        from iqc_tpu.models import yolo_int8_stream
+
+        ycal = jax.random.uniform(rng, (4, 640, 640, 3), jnp.float32)
+        fp_tree = yolo_int8_stream.fold_fp(yolo_vars, stem_mode=stem)
+        yscales = yolo_int8_stream.calibrate(
+            fp_tree, [ycal], reg_max=yolo.reg_max, num_classes=m.num_classes)
+        yq = yolo_int8_stream.quantize(
+            yolo_vars, yscales, stem_mode=stem,
+            reg_max=yolo.reg_max, num_classes=m.num_classes)
+        yolo_vars = {"q": jax.device_put(yq),
+                     "scales": jax.device_put(yscales)}
+        yolo_apply = lambda v, xx: yolo_int8_stream.apply(
+            v["q"], xx, v["scales"], reg_max=yolo.reg_max,
+            num_classes=m.num_classes,
+        )
+    elif yolo_int8_on:
         # int8 activations for the bandwidth-bound YOLO stage
         # (models/yolo_int8.py); halves the HBM bytes its convs move
         from iqc_tpu.models import yolo_int8
@@ -292,7 +315,8 @@ def main() -> None:
         "crop_pool": m.max_classified_pool,
         "seg_pool": m.max_segmented_pool,
         "classifier_input": ci,
-        "yolo_int8": yolo_int8_on,
+        "yolo_int8": yolo_int8_on or yolo_stream_on,
+        "yolo_int8_stream": yolo_stream_on,
         "segmentation_included": full,
     }
 

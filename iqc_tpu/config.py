@@ -211,6 +211,11 @@ class EdgeConfig:
     # (models/yolo_int8.py — mAP-parity measured on the shipped checkpoint,
     # RESULTS.md r3). False = weight-only int8 storage for YOLO.
     yolo_int8: bool = True
+    # under yolo_int8: keep activations int8-resident in HBM end-to-end
+    # (models/yolo_int8_stream.py — per-tensor scales folded into weights;
+    # the v1 path re-quantizes per conv input through bf16 round-trips).
+    # Env override for hardware A/B: IQC_YOLO_INT8_STREAM=1|0.
+    yolo_int8_stream: bool = False
     max_batch_size: int = 8
     compilation_cache_dir: str = ".xla_cache"
     # magnitude pruning at export (reference optimization.pruning block,

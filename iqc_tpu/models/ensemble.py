@@ -539,30 +539,62 @@ class EnsemblePredictor:
                 # activations halve its bytes; mAP parity measured on the
                 # shipped checkpoint (0.7609 int8 vs 0.7548 bf16 mAP50-95,
                 # val128 TPU eval)
-                from iqc_tpu.models import yolo_int8
+                import os as _os
 
                 yolo_fp_bytes = _tree_bytes(self.yolo_vars)
-                yq = yolo_int8.quantize_yolo(
-                    self.yolo_vars, stem_mode=self.yolo.stem_mode
-                )
-                yscales = yolo_int8.calibrate_activation_scales(
-                    yq, self._yolo_calibration_batches(),
-                    reg_max=self.yolo.reg_max,
-                    num_classes=len(self.class_names),
-                )
-                self.yolo_vars = {"q": yq, "scales": yscales}
                 reg_max = self.yolo.reg_max
                 n_cls = len(self.class_names)
-                self._yolo_apply = lambda v, xx: yolo_int8.apply(
-                    v["q"], xx, reg_max=reg_max, num_classes=n_cls,
-                    act_scales=v["scales"],
-                )
+                stream = getattr(cfg.edge, "yolo_int8_stream", False)
+                env = _os.environ.get("IQC_YOLO_INT8_STREAM")
+                if env is not None:
+                    stream = env not in ("0", "false", "")
+                if stream:
+                    # v2: int8-RESIDENT activations — per-tensor scales
+                    # folded into the weights, codes in HBM end-to-end
+                    # (models/yolo_int8_stream.py)
+                    from iqc_tpu.models import yolo_int8_stream
+
+                    fp_tree = yolo_int8_stream.fold_fp(
+                        self.yolo_vars, stem_mode=self.yolo.stem_mode)
+                    yscales = yolo_int8_stream.calibrate(
+                        fp_tree, self._yolo_calibration_batches(),
+                        reg_max=reg_max, num_classes=n_cls,
+                    )
+                    yq = yolo_int8_stream.quantize(
+                        self.yolo_vars, yscales,
+                        stem_mode=self.yolo.stem_mode,
+                        reg_max=reg_max, num_classes=n_cls,
+                    )
+                    self.yolo_vars = {"q": yq, "scales": yscales}
+                    self._yolo_apply = lambda v, xx: yolo_int8_stream.apply(
+                        v["q"], xx, v["scales"],
+                        reg_max=reg_max, num_classes=n_cls,
+                    )
+                    yq_bytes = yolo_int8_stream.tree_size_bytes(yq)
+                    yolo_mode = ("true-int8 MXU, int8-resident activations "
+                                 "(streaming v2)")
+                else:
+                    from iqc_tpu.models import yolo_int8
+
+                    yq = yolo_int8.quantize_yolo(
+                        self.yolo_vars, stem_mode=self.yolo.stem_mode
+                    )
+                    yscales = yolo_int8.calibrate_activation_scales(
+                        yq, self._yolo_calibration_batches(),
+                        reg_max=reg_max, num_classes=n_cls,
+                    )
+                    self.yolo_vars = {"q": yq, "scales": yscales}
+                    self._yolo_apply = lambda v, xx: yolo_int8.apply(
+                        v["q"], xx, reg_max=reg_max, num_classes=n_cls,
+                        act_scales=v["scales"],
+                    )
+                    yq_bytes = yolo_int8.tree_size_bytes(yq)
+                    yolo_mode = "true-int8 MXU (static calibrated activations)"
                 yolo_report = {
                     "size_reduction_percent": 100.0 * (
-                        1 - yolo_int8.tree_size_bytes(yq) / max(yolo_fp_bytes, 1)
+                        1 - yq_bytes / max(yolo_fp_bytes, 1)
                     ),
                 }
-                yolo_mode = "true-int8 MXU (static calibrated activations)"
             else:
                 opt = XLAOptimizer(precision="int8")
                 self.yolo_vars, yolo_report = opt.optimize_variables(

@@ -53,10 +53,12 @@ def main() -> None:
     trainer.ema_params = loaded["params"]
     trainer.state = trainer.state._replace(batch_stats=loaded["batch_stats"])
 
-    int8 = os.environ.get("INT8", "0") == "1"
+    int8_stream = os.environ.get("INT8_STREAM", "0") == "1"
+    int8 = os.environ.get("INT8", "0") == "1" or int8_stream
     if int8:
         # swap the trainer's predict fn for the true-int8 forward
-        # (models/yolo_int8.py) — measures the int8 mAP cost directly
+        # (models/yolo_int8.py, or the int8-resident streaming v2 with
+        # INT8_STREAM=1) — measures the int8 mAP cost directly
         import jax
         import numpy as np
 
@@ -65,24 +67,45 @@ def main() -> None:
         from iqc_tpu.ops.jit_utils import hoisted_jit
         from iqc_tpu.ops.nms import decode_and_nms
 
-        q = yolo_int8.quantize_yolo(
-            {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},
-            stem_mode=meta.get("stem_mode", "conv"),
-        )
+        variables = {"params": loaded["params"],
+                     "batch_stats": loaded["batch_stats"]}
         cal_ds = _SDS(8, image_size, trainer.config["max_boxes"], seed=99)
         cal = np.stack([cal_ds.load(i)[0] for i in range(8)]).astype(np.float32) / 255.0
-        scales = yolo_int8.calibrate_activation_scales(
-            q, [cal], reg_max=trainer.config["reg_max"],
-            num_classes=trainer.config["num_classes"])
+        if int8_stream:
+            from iqc_tpu.models import yolo_int8_stream as _stream
+
+            fp_tree = _stream.fold_fp(
+                variables, stem_mode=meta.get("stem_mode", "conv"))
+            scales = _stream.calibrate(
+                fp_tree, [cal], reg_max=trainer.config["reg_max"],
+                num_classes=trainer.config["num_classes"])
+            q = _stream.quantize(
+                variables, scales, stem_mode=meta.get("stem_mode", "conv"),
+                reg_max=trainer.config["reg_max"],
+                num_classes=trainer.config["num_classes"])
+        else:
+            q = yolo_int8.quantize_yolo(
+                variables, stem_mode=meta.get("stem_mode", "conv"),
+            )
+            scales = yolo_int8.calibrate_activation_scales(
+                q, [cal], reg_max=trainer.config["reg_max"],
+                num_classes=trainer.config["num_classes"])
         q_dev, scales_dev = jax.device_put(q), jax.device_put(scales)
 
         @hoisted_jit
         def predict_q(qq, ss, images, conf_t, iou_t, anchors, strides):
             if jnp.issubdtype(images.dtype, jnp.integer):
                 images = images.astype(jnp.float32) / 255.0
-            dist, cls = yolo_int8.apply(
-                qq, images, reg_max=trainer.config["reg_max"],
-                num_classes=trainer.config["num_classes"], act_scales=ss)
+            if int8_stream:
+                from iqc_tpu.models import yolo_int8_stream as _stream
+
+                dist, cls = _stream.apply(
+                    qq, images, ss, reg_max=trainer.config["reg_max"],
+                    num_classes=trainer.config["num_classes"])
+            else:
+                dist, cls = yolo_int8.apply(
+                    qq, images, reg_max=trainer.config["reg_max"],
+                    num_classes=trainer.config["num_classes"], act_scales=ss)
             return decode_and_nms(
                 dist, cls, anchors, strides, trainer.config["reg_max"],
                 max_detections=100, iou_threshold=iou_t, score_threshold=conf_t,
@@ -98,7 +121,7 @@ def main() -> None:
         trainer._maybe_device_val = lambda loader: None
 
     report = {"checkpoint": ckpt, "image_size": image_size, "int8": int8,
-              "val_seed": val_seed, "splits": {}}
+              "int8_stream": int8_stream, "val_seed": val_seed, "splits": {}}
     for n in splits:
         ds = SyntheticDefectDataset(n, image_size, trainer.config["max_boxes"],
                                     seed=val_seed)

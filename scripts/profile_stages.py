@@ -101,11 +101,26 @@ def main() -> None:
             v["q"], xx, act_scales=v["scales"])
 
     yolo_apply = None
-    if os.environ.get("YOLO_INT8", "0") == "1":
+    ycal = jax.random.uniform(rng, (4, 640, 640, 3), jnp.float32)
+    if os.environ.get("YOLO_INT8_STREAM", "0") == "1":
+        # v2 int8-resident activations (models/yolo_int8_stream.py) — the
+        # bandwidth A/B against YOLO_INT8=1 (v1 bf16 round-trips)
+        from iqc_tpu.models import yolo_int8_stream
+
+        fp_tree = yolo_int8_stream.fold_fp(yolo_vars, stem_mode=yolo.stem_mode)
+        yscales = yolo_int8_stream.calibrate(
+            fp_tree, [ycal], reg_max=yolo.reg_max, num_classes=m.num_classes)
+        yq = yolo_int8_stream.quantize(
+            yolo_vars, yscales, stem_mode=yolo.stem_mode,
+            reg_max=yolo.reg_max, num_classes=m.num_classes)
+        yolo_vars = {"q": jax.device_put(yq), "scales": jax.device_put(yscales)}
+        yolo_apply = lambda v, xx: yolo_int8_stream.apply(
+            v["q"], xx, v["scales"], reg_max=yolo.reg_max,
+            num_classes=m.num_classes)
+    elif os.environ.get("YOLO_INT8", "0") == "1":
         from iqc_tpu.models import yolo_int8
 
         yq = yolo_int8.quantize_yolo(yolo_vars, stem_mode=yolo.stem_mode)
-        ycal = jax.random.uniform(rng, (4, 640, 640, 3), jnp.float32)
         yscales = yolo_int8.calibrate_activation_scales(
             yq, [ycal], reg_max=yolo.reg_max, num_classes=m.num_classes)
         yolo_vars = {"q": jax.device_put(yq), "scales": jax.device_put(yscales)}
