@@ -170,6 +170,23 @@ def test_int8_serving_precision(tiny_config, rng):
     assert result["quality_assessment"]["quality_grade"] in "ABCDF"
 
 
+def test_int8_stream_serving_precision(tiny_config, rng, monkeypatch):
+    """IQC_YOLO_INT8_STREAM=1 (or edge.yolo_int8_stream) under int8 serving
+    swaps the detector to the int8-resident streaming path
+    (models/yolo_int8_stream.py) and still serves the full predict chain."""
+    import copy
+
+    monkeypatch.setenv("IQC_YOLO_INT8_STREAM", "1")
+    cfg = copy.deepcopy(tiny_config)
+    cfg.edge.precision = "int8"
+    pred = EnsemblePredictor(config=cfg)
+    assert "int8-resident" in pred.precision_report["yolo"]
+    assert pred.precision_report["yolo_size_reduction_percent"] > 60.0
+    img = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    result = pred.predict(img)
+    assert result["quality_assessment"]["quality_grade"] in "ABCDF"
+
+
 def test_mock_tail_boundary_flagging_and_counters(predictor):
     """Detections past the max_classified crop slots fall back to the
     reference's conf*1.1 mock rule (ensemble.py:186-195). Pins the
