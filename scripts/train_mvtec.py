@@ -20,7 +20,7 @@ dataset.yaml plumbing (/root/reference/train/train_yolo.py:80-115).
 Run (TPU, ~80 min at the shipped 200-epoch + augmentation recipe;
 AUG=0 CLS_AUG=0 EPOCHS_DET=120 reproduces the faster r3 baseline):
 python scripts/train_mvtec.py
-Env: ROOT, CATEGORY, IMG_SIZE, EPOCHS_DET, EPOCHS_CLS, SEED,
+Env: ROOT, CATEGORY, IMG_SIZE, EPOCHS_DET, EPOCHS_CLS, SEED, WIDTH_MULT, DEPTH_MULT,
      N_PER_DEFECT, OUT_DET, OUT_CLS, AUG, CLS_AUG, AUG_DEGREES, SKIP_DET.
 """
 
@@ -79,6 +79,10 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
         "warmup_epochs": 2,
         "ema_decay": 0.995,
         "max_boxes": 16,
+        # model scale (default yolov8n; WIDTH_MULT=0.5 = yolov8s-class —
+        # the capacity lever for the small-corpus held-out number)
+        "width_mult": float(os.environ.get("WIDTH_MULT", "0.25")),
+        "depth_mult": float(os.environ.get("DEPTH_MULT", "0.334")),
         # 204 train images are too few to train without augmentation (the
         # first no-augmentation run plateaued at mAP50 0.44); host mosaic
         # matches the shipped-checkpoint recipe (RESULTS.md round-2 A/B).
