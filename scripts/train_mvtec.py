@@ -21,7 +21,7 @@ Run (TPU, ~80 min at the shipped 200-epoch + augmentation recipe;
 AUG=0 CLS_AUG=0 EPOCHS_DET=120 reproduces the faster r3 baseline):
 python scripts/train_mvtec.py
 Env: ROOT, CATEGORY, IMG_SIZE, EPOCHS_DET, EPOCHS_CLS, SEED, WIDTH_MULT, DEPTH_MULT,
-     N_PER_DEFECT, OUT_DET, OUT_CLS, AUG, CLS_AUG, AUG_DEGREES, SKIP_DET.
+     N_PER_DEFECT, OUT_DET, OUT_CLS, AUG, CLS_AUG, AUG_DEGREES, SKIP_DET, SKIP_CLS.
 """
 
 import json
@@ -212,7 +212,10 @@ def serve_checkpoints(det_ckpt: str, cls_ckpt: str, cat_dir: str,
 
     cfg = SystemConfig.from_dict({
         "model": {"yolo_weights": det_ckpt, "resnet_weights": cls_ckpt,
-                  "max_detections": 64, "max_classified": 8},
+                  "max_detections": 64, "max_classified": 8,
+                  # match the trained detector's scale (WIDTH_MULT runs)
+                  "width_mult": float(os.environ.get("WIDTH_MULT", "0.25")),
+                  "depth_mult": float(os.environ.get("DEPTH_MULT", "0.334"))},
         "processing": {"input_size": [img_size, img_size],
                        "preprocessing": {"resize": [img_size, img_size]}},
     })
@@ -251,7 +254,11 @@ def main() -> None:
     cat_dir = build_corpus(root, category, seed=2024, n_per_defect=n_per_defect)
     det = train_detection(cat_dir, img_size, epochs_det, seed, out_det)
     print("detection:", json.dumps(det), flush=True)
-    cls = train_classification(cat_dir, epochs_cls, seed, out_cls)
+    if os.environ.get("SKIP_CLS") == "1" and os.path.exists(out_cls):
+        # detector-only experiment: reuse the shipped classifier checkpoint
+        cls = {"reused_checkpoint": out_cls}
+    else:
+        cls = train_classification(cat_dir, epochs_cls, seed, out_cls)
     print("classification:", json.dumps(cls), flush=True)
     serve = serve_checkpoints(out_det, out_cls, cat_dir, img_size)
     print("serving:", json.dumps(serve), flush=True)
