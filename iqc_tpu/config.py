@@ -368,7 +368,8 @@ class QCSpecificConfig:
             if tier not in SEVERITY_LEVELS:
                 raise ValueError(f"unknown severity tier {tier!r}")
             for k in rule:
-                if k not in ("min_confidence", "min_area_ratio"):
+                if k not in ("min_confidence", "min_area_ratio",
+                             "classifier_min_confidence"):
                     raise ValueError(f"unknown severity rule key {k!r}")
 
     # -- vectorization helpers (device-arg builders) ---------------------------
@@ -390,19 +391,28 @@ class QCSpecificConfig:
         return [float(self.class_weights.get(c, 1.0)) for c in defect_classes]
 
     def severity_array(self) -> Optional[List[List[float]]]:
-        """[2,2] [[major_conf, major_area_ratio], [critical_conf,
-        critical_area_ratio]] for ``detection_severity`` (None when the
-        block is empty = compiled-in reference constants). Missing keys
-        default to the reference code constants."""
+        """[2,3] [[major_conf, major_area_ratio, cls_major_conf],
+        [critical_conf, critical_area_ratio, cls_critical_conf]] for
+        ``detection_severity`` (cols 0:2) and ``classifier_severity``
+        (col 2). None when the block is empty = compiled-in reference
+        constants. Missing detection keys default to the reference's
+        detection constants (0.8/0.05, 0.9/0.1); the classifier column
+        defaults to the reference's *classifier* constants (0.6, 0.8 —
+        resent_model.py:237-255), which are hard-coded in the reference
+        regardless of the qc block, so a partial ``severity_rules`` block
+        never shifts classifier tiers. Override explicitly with the
+        per-tier ``classifier_min_confidence`` key."""
         if not self.severity_rules:
             return None
         major = self.severity_rules.get("major", {})
         crit = self.severity_rules.get("critical", {})
         return [
             [float(major.get("min_confidence", 0.8)),
-             float(major.get("min_area_ratio", 0.05))],
+             float(major.get("min_area_ratio", 0.05)),
+             float(major.get("classifier_min_confidence", 0.6))],
             [float(crit.get("min_confidence", 0.9)),
-             float(crit.get("min_area_ratio", 0.1))],
+             float(crit.get("min_area_ratio", 0.1)),
+             float(crit.get("classifier_min_confidence", 0.8))],
         ]
 
 

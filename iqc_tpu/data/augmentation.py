@@ -349,10 +349,12 @@ def augment_image_and_boxes(
             tmp = jnp.einsum("ij,jkc->ikc", wy.astype(jnp.bfloat16),
                              img.astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
-            img = jnp.einsum("ikc,lk->ilc", tmp.astype(jnp.bfloat16),
-                             wx.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-            img = jnp.clip(img, 0.0, 1.0)
+            resampled = jnp.einsum("ikc,lk->ilc", tmp.astype(jnp.bfloat16),
+                                   wx.astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
+            # keep the un-gated image bit-exact: the identity transform
+            # through the bf16 matmul would still round every pixel
+            img = jnp.where(do_a, jnp.clip(resampled, 0.0, 1.0), img)
         else:
             # exact analytic inverse for the sampler (output -> input
             # coords); translation inverts through the linear map, so warp

@@ -118,15 +118,19 @@ def classifier_severity(class_ids: jnp.ndarray, confidences: jnp.ndarray,
     Scalar comparisons instead of isin-with-table: no array literal may be
     embedded in the executable (see ops/jit_utils.py).
 
-    ``rules``: optional traced [2,2] severity-rules array (same layout as
-    ``detection_severity``; qc_specific.severity_rules). The confidence
-    columns replace the tier thresholds: major tier uses rules[0,0]
-    (reference constant 0.6 — the declared major.min_confidence default),
-    critical tier rules[1,0] (reference constant 0.8). Area columns are
-    ignored (the classifier has no box).
+    ``rules``: optional traced severity-rules array
+    (qc_specific.severity_rules via ``QCSpecificConfig.severity_array``).
+    A [2,3] array carries a dedicated classifier column (col 2, defaults
+    0.6/0.8 = the reference's hard-coded classifier constants, so partial
+    ``severity_rules`` blocks can't silently shift classifier tiers to the
+    detection defaults); a legacy [2,2] array falls back to the detection
+    confidence column. Area columns are ignored (the classifier has no
+    box).
     """
     if rules is None:
         major_c, crit_c = 0.6, 0.8
+    elif rules.shape[-1] >= 3:
+        major_c, crit_c = rules[0, 2], rules[1, 2]
     else:
         major_c, crit_c = rules[0, 0], rules[1, 0]
     is_crit_class = (class_ids == 0) | (class_ids == 2)   # crack, dent

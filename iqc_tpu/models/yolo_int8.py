@@ -49,7 +49,11 @@ def _pack_convbn(tree_p: Dict, tree_s: Dict) -> Dict:
 
 
 def _pack_c2f(tree_p: Dict, tree_s: Dict) -> Dict:
-    bn = sorted(k for k in tree_p if k.startswith("C2fBottleneck_"))
+    # numeric sort: lexicographic breaks at >=10 bottlenecks
+    # ('C2fBottleneck_10' < 'C2fBottleneck_2') and silently corrupts the
+    # packed order at user-set DEPTH_MULT
+    bn = sorted((k for k in tree_p if k.startswith("C2fBottleneck_")),
+                key=lambda k: int(k.rsplit("_", 1)[1]))
     return {
         "in": _pack_convbn(tree_p["ConvBN_0"], tree_s["ConvBN_0"]),
         "bottlenecks": [

@@ -75,7 +75,11 @@ def _fold_convbn_fp(tree_p: Dict, tree_s: Dict) -> Dict:
 
 
 def _fold_c2f_fp(tree_p: Dict, tree_s: Dict) -> Dict:
-    bn = sorted(k for k in tree_p if k.startswith("C2fBottleneck_"))
+    # numeric sort: lexicographic breaks at >=10 bottlenecks
+    # ('C2fBottleneck_10' < 'C2fBottleneck_2') and silently corrupts the
+    # folded order at user-set DEPTH_MULT
+    bn = sorted((k for k in tree_p if k.startswith("C2fBottleneck_")),
+                key=lambda k: int(k.rsplit("_", 1)[1]))
     return {
         "in": _fold_convbn_fp(tree_p["ConvBN_0"], tree_s["ConvBN_0"]),
         "bottlenecks": [

@@ -55,7 +55,11 @@ def test_qc_specific_parses_reference_block():
     w = qc.weight_vector(DEFECT_CLASSES)
     assert w == [1.2, 1.0, 1.5, 0.8, 1.1]
     sev = qc.severity_array()
-    assert sev == [[0.6, 0.02], [0.8, 0.05]]
+    # col 2 = classifier tier confidences: stay at the reference's
+    # hard-coded classifier constants (0.6/0.8) even when the detection
+    # columns are overridden (ADVICE r4: a partial block must not shift
+    # classifier tiers to the detection defaults)
+    assert sev == [[0.6, 0.02, 0.6], [0.8, 0.05, 0.8]]
 
     # round trip through to_dict/update
     again = SystemConfig.from_dict(cfg.to_dict())
@@ -212,6 +216,24 @@ def test_classifier_severity_rules():
     strict = jnp.asarray([[0.6, 0.0], [0.95, 0.0]], jnp.float32)
     np.testing.assert_array_equal(
         np.asarray(classifier_severity(ids, conf, strict)), [1, 1, 0, 0]
+    )
+    # [2,3] severity_array form: classifier tiers read col 2, so a block
+    # that only raises DETECTION confidences leaves classifier tiers at
+    # the reference constants (ADVICE r4 regression)
+    from iqc_tpu.config import SystemConfig
+
+    qc = SystemConfig.from_dict({"qc_specific": {"severity_rules": {
+        "critical": {"min_confidence": 0.99}}}}).qc_specific
+    arr = jnp.asarray(qc.severity_array(), jnp.float32)
+    np.testing.assert_array_equal(
+        base, np.asarray(classifier_severity(ids, conf, arr))
+    )
+    # explicit classifier override via classifier_min_confidence
+    qc2 = SystemConfig.from_dict({"qc_specific": {"severity_rules": {
+        "critical": {"classifier_min_confidence": 0.95}}}}).qc_specific
+    arr2 = jnp.asarray(qc2.severity_array(), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(classifier_severity(ids, conf, arr2)), [1, 1, 0, 0]
     )
 
 
