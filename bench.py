@@ -23,6 +23,14 @@ Timing methodology (the axon TPU tunnel does NOT block in
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 vs_baseline is value / 500 img/min (the reference's headline claim).
+
+Pooled default (BENCH_CLS_POOL=4x / BENCH_SEG_POOL=2x, the serving config):
+the graph still carries the full 300-det/32-crop capacity, but only the
+batch's top-(4*batch) REAL detections get the per-crop classifier (top-
+2*batch the segmenter) — sized for the parity-measured ~0.45 valid
+detections/image (docs/pool_parity_r4.json); overflow degrades to the
+reference's own mock rule. BENCH_CLS_POOL=0 BENCH_SEG_POOL=0 restores the
+dense reference-shaped graph for capacity-comparable numbers.
 """
 
 import functools
@@ -319,6 +327,18 @@ def main() -> None:
         "yolo_int8_stream": yolo_stream_on,
         "segmentation_included": full,
     }
+    if m.max_classified_pool:
+        # pooled-graph density disclosure: the 4x/2x pool sizing assumes the
+        # parity-measured real-stream density (~0.45 valid detections/image,
+        # p95=2, at the serving conf 0.7 — docs/pool_parity_r4.json). Every
+        # capacity slot is still extracted; only the top-pool survivors get
+        # the real classifier/segmentation, the rest degrade to the
+        # reference's mock rule. Denser streams need a bigger
+        # max_classified_pool (see config/config.yaml sizing runbook) and
+        # land between this number and the dense (BENCH_CLS_POOL=0) row.
+        detail["pool_sizing_assumes_valid_det_per_image"] = 0.45
+        detail["pool_headroom_vs_assumed_density"] = round(
+            m.max_classified_pool / (0.45 * batch), 1)
 
     if single:
         one = jax.device_put(jnp.asarray(images[:1]))
