@@ -150,6 +150,40 @@ class SubsetDataset:
         return np.bincount(self.labels, minlength=n)
 
 
+class ConcatDataset:
+    """Concatenation of load()/len datasets with the same sample schema —
+    lets a training split grow with extra rendered corpora while the
+    held-out val split stays byte-identical (train_mvtec.py EXTRA_N)."""
+
+    def __init__(self, datasets: Sequence):
+        if not datasets:
+            raise ValueError("ConcatDataset needs at least one dataset")
+        self.datasets = list(datasets)
+        first = self.datasets[0]
+        for attr in ("image_size", "max_boxes", "class_names"):
+            if hasattr(first, attr):
+                setattr(self, attr, getattr(first, attr))
+        if all(hasattr(d, "labels") for d in self.datasets):
+            self.labels = np.concatenate(
+                [np.asarray(d.labels) for d in self.datasets])
+        if all(hasattr(d, "groups") for d in self.datasets):
+            self.groups = [g for d in self.datasets for g in d.groups]
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def load(self, index: int):
+        k = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return self.datasets[k].load(index - int(self._offsets[k]))
+
+    def class_counts(self) -> np.ndarray:
+        if not hasattr(self, "labels"):
+            raise AttributeError("underlying datasets have no labels")
+        n = len(getattr(self, "class_names", [])) or int(self.labels.max()) + 1
+        return np.bincount(self.labels, minlength=n)
+
+
 def split_indices(n: int, val_fraction: float = 0.25, seed: int = 0
                   ) -> Tuple[List[int], List[int]]:
     """Deterministic shuffled train/val index split."""

@@ -87,12 +87,19 @@ class SyntheticDefectDataset:
     """
 
     def __init__(self, n: int = 64, image_size: int = 320, max_boxes: int = 8,
-                 num_classes: int = 5, seed: int = 0, cache: bool = True):
+                 num_classes: int = 5, seed: int = 0, cache: bool = True,
+                 min_defects: int = 0, max_defects: int = 3):
+        # defaults draw n_def from integers(0, 4) — EXACTLY the historical
+        # RNG call, so cached/golden corpora stay bit-identical. Raising
+        # min/max_defects renders a dense-defect stress arm (every image
+        # crowded) for pool-degradation studies.
         self.n = n
         self.image_size = image_size
         self.max_boxes = max_boxes
         self.num_classes = num_classes
         self.seed = seed
+        self.min_defects = min_defects
+        self.max_defects = max_defects
         self._cache: Dict[int, tuple] = {} if cache else None
 
     def __len__(self) -> int:
@@ -117,7 +124,8 @@ class SyntheticDefectDataset:
         boxes = np.zeros((self.max_boxes, 4), np.float32)
         classes = np.zeros((self.max_boxes,), np.int32)
         valid = np.zeros((self.max_boxes,), bool)
-        n_def = int(rng.integers(0, 4))
+        n_def = min(int(rng.integers(self.min_defects, self.max_defects + 1)),
+                    self.max_boxes)
         yy, xx = np.mgrid[:s, :s]
         for i in range(n_def):
             cls = int(rng.integers(0, self.num_classes))

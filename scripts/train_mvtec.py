@@ -21,7 +21,9 @@ Run (TPU, ~80 min at the shipped 200-epoch + augmentation recipe;
 AUG=0 CLS_AUG=0 EPOCHS_DET=120 reproduces the faster r3 baseline):
 python scripts/train_mvtec.py
 Env: ROOT, CATEGORY, IMG_SIZE, EPOCHS_DET, EPOCHS_CLS, SEED, WIDTH_MULT, DEPTH_MULT,
-     N_PER_DEFECT, OUT_DET, OUT_CLS, AUG, CLS_AUG, AUG_DEGREES, SKIP_DET, SKIP_CLS.
+     N_PER_DEFECT, OUT_DET, OUT_CLS, AUG, CLS_AUG, AUG_DEGREES, SKIP_DET, SKIP_CLS,
+     EXTRA_N (extra TRAINING-ONLY corpus images per defect type, rendered at a
+     different generator seed; val split stays byte-identical), DEVICE_MOSAIC.
 """
 
 import json
@@ -55,9 +57,11 @@ def build_corpus(root: str, category: str, seed: int, n_per_defect: int):
 
 
 def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
-                    out: str):
+                    out: str, extra_dir: str = None):
     from iqc_tpu.config import DEFECT_CLASSES
-    from iqc_tpu.data.mvtec import MVTecDetectionDataset, SubsetDataset, split_indices
+    from iqc_tpu.data.mvtec import (
+        ConcatDataset, MVTecDetectionDataset, SubsetDataset, split_indices,
+    )
     from iqc_tpu.data.yolo_dataset import DetectionLoader
     from iqc_tpu.train.train_yolo import YOLOTrainer
 
@@ -65,11 +69,22 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
         cat_dir, image_size=img_size, max_boxes=16,
         include_good=True, class_names=list(DEFECT_CLASSES),
     )
+    # the val split is computed over the ORIGINAL corpus only, so the
+    # held-out number stays comparable across rounds; EXTRA_N images
+    # (separately rendered training-only corpus, different generator seed)
+    # extend the train side exclusively
     train_idx, val_idx = split_indices(len(ds), val_fraction=0.25, seed=0)
     train_ds = SubsetDataset(ds, train_idx)
     val_ds = SubsetDataset(ds, val_idx)
+    if extra_dir:
+        extra = MVTecDetectionDataset(
+            extra_dir, image_size=img_size, max_boxes=16,
+            include_good=True, class_names=list(DEFECT_CLASSES),
+        )
+        train_ds = ConcatDataset([train_ds, extra])
     print(f"detection: {len(train_ds)} train / {len(val_ds)} val images "
-          f"(MVTec layout, boxes from ground-truth masks)", flush=True)
+          f"(MVTec layout, boxes from ground-truth masks; val = original "
+          f"corpus split only)", flush=True)
 
     trainer = YOLOTrainer({
         "seed": seed,
@@ -144,10 +159,12 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
     }
 
 
-def train_classification(cat_dir: str, epochs: int, seed: int, out: str):
+def train_classification(cat_dir: str, epochs: int, seed: int, out: str,
+                          extra_dir: str = None):
     from iqc_tpu.config import DEFECT_CLASSES
     from iqc_tpu.data.mvtec import (
-        MVTecCropClassificationDataset, SubsetDataset, split_indices_grouped,
+        ConcatDataset, MVTecCropClassificationDataset, SubsetDataset,
+        split_indices_grouped,
     )
     from iqc_tpu.train.train_resnet import ResNetTrainer
 
@@ -166,6 +183,13 @@ def train_classification(cat_dir: str, epochs: int, seed: int, out: str):
     train_idx, val_idx = split_indices_grouped(ds.groups, val_fraction=0.25,
                                                seed=0)
     train_ds, val_ds = SubsetDataset(ds, train_idx), SubsetDataset(ds, val_idx)
+    if extra_dir:
+        # training-only extra crops; the val groups (original corpus) are
+        # untouched so accuracy stays comparable across rounds
+        extra = MVTecCropClassificationDataset(
+            extra_dir, (224, 224), class_names=list(DEFECT_CLASSES),
+        )
+        train_ds = ConcatDataset([train_ds, extra])
     print(f"classification: {len(train_ds)} train / {len(val_ds)} val "
           f"(classes {ds.class_names}, image-grouped split)", flush=True)
 
@@ -252,20 +276,47 @@ def main() -> None:
     out_cls = os.environ.get("OUT_CLS", "models/resnet50_qc_mvtec.msgpack")
 
     cat_dir = build_corpus(root, category, seed=2024, n_per_defect=n_per_defect)
-    det = train_detection(cat_dir, img_size, epochs_det, seed, out_det)
+
+    # EXTRA_N > 0: render a training-only corpus (same held-out generator
+    # family, DIFFERENT seed => new surface/defect instances) and extend the
+    # train split with it; the original corpus's val split stays identical,
+    # so the held-out numbers remain comparable across rounds (VERDICT r4
+    # #2: the 204-image train split is the binding constraint).
+    extra_n = int(os.environ.get("EXTRA_N", "0"))
+    extra_dir = None
+    if extra_n > 0:
+        from iqc_tpu.data.mvtec_synth import write_corpus
+
+        extra_cat = f"{category}_extra{extra_n}"
+        extra_dir = os.path.join(root, extra_cat)
+        if not os.path.isdir(os.path.join(extra_dir, "test")):
+            t0 = time.time()
+            manifest = write_corpus(
+                root, extra_cat, n_train_good=0, n_test_good=extra_n // 2,
+                n_test_per_defect=extra_n, size=512, seed=3030,
+            )
+            with open(os.path.join(extra_dir, "manifest.json"), "w") as f:
+                json.dump(manifest, f, indent=1)
+            print(f"rendered extra train corpus in {time.time()-t0:.1f}s: "
+                  f"{manifest['counts']}", flush=True)
+
+    det = train_detection(cat_dir, img_size, epochs_det, seed, out_det,
+                          extra_dir=extra_dir)
     print("detection:", json.dumps(det), flush=True)
     if os.environ.get("SKIP_CLS") == "1" and os.path.exists(out_cls):
         # detector-only experiment: reuse the shipped classifier checkpoint
         cls = {"reused_checkpoint": out_cls}
     else:
-        cls = train_classification(cat_dir, epochs_cls, seed, out_cls)
+        cls = train_classification(cat_dir, epochs_cls, seed, out_cls,
+                                   extra_dir=extra_dir)
     print("classification:", json.dumps(cls), flush=True)
     serve = serve_checkpoints(out_det, out_cls, cat_dir, img_size)
     print("serving:", json.dumps(serve), flush=True)
 
     meta = {
         "corpus": {"root": root, "category": category,
-                   "generator": "mvtec_synth (held-out parameters)"},
+                   "generator": "mvtec_synth (held-out parameters)",
+                   "extra_train_per_defect": extra_n},
         "detection": det, "classification": cls, "serving": serve,
         "checkpoints": {"yolo": out_det, "resnet": out_cls},
     }

@@ -250,3 +250,50 @@ def test_crop_classification_custom_class_order(mvtec_tree):
     # scratch folder maps to id 0 under the custom order
     assert any("scratch" in p for l, p in by_name.items() if l == 0)
     assert any("hole" in p for l, p in by_name.items() if l == 1)
+
+
+def test_concat_dataset(synth_corpus):
+    """ConcatDataset (train_mvtec.py EXTRA_N): samples pass through with
+    offsets, attrs/labels/groups propagate, val split stays untouched."""
+    from iqc_tpu.data.mvtec import ConcatDataset, SubsetDataset, split_indices
+
+    root, _ = synth_corpus
+    ds = MVTecDetectionDataset(os.path.join(root, "metal_plate"),
+                               image_size=96, max_boxes=8)
+    tr, va = split_indices(len(ds), val_fraction=0.25, seed=0)
+    train, val = SubsetDataset(ds, tr), SubsetDataset(ds, va)
+    cat = ConcatDataset([train, val])  # stand-in "extra" corpus
+    assert len(cat) == len(train) + len(val)
+    for probe in (0, len(train) - 1, len(train), len(cat) - 1):
+        src = (train.load(probe) if probe < len(train)
+               else val.load(probe - len(train)))
+        got = cat.load(probe)
+        np.testing.assert_array_equal(got[0], src[0])
+        np.testing.assert_array_equal(got[1], src[1])
+    assert cat.image_size == ds.image_size
+    assert cat.max_boxes == ds.max_boxes
+
+
+def test_synthetic_dataset_density_knobs():
+    """min/max_defects: defaults keep the historical RNG stream (corpora
+    bit-identical); dense settings crowd every image."""
+    from iqc_tpu.data.yolo_dataset import SyntheticDefectDataset
+
+    base = SyntheticDefectDataset(n=6, image_size=96, max_boxes=8, seed=5)
+    dflt = SyntheticDefectDataset(n=6, image_size=96, max_boxes=8, seed=5,
+                                  min_defects=0, max_defects=3)
+    for i in range(6):
+        a, b = base.load(i), dflt.load(i)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[3], b[3])
+
+    dense = SyntheticDefectDataset(n=6, image_size=96, max_boxes=16, seed=5,
+                                   min_defects=8, max_defects=12)
+    counts = [dense.load(i)[3].sum() for i in range(6)]
+    # some renders drop sub-3px boxes, so allow slack below min_defects
+    assert min(counts) >= 6 and max(counts) <= 12
+
+    capped = SyntheticDefectDataset(n=3, image_size=96, max_boxes=4, seed=5,
+                                    min_defects=8, max_defects=12)
+    for i in range(3):
+        assert capped.load(i)[3].sum() <= 4  # never writes past max_boxes
