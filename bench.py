@@ -31,6 +31,11 @@ batch's top-(4*batch) REAL detections get the per-crop classifier (top-
 detections/image (docs/pool_parity_r4.json); overflow degrades to the
 reference's own mock rule. BENCH_CLS_POOL=0 BENCH_SEG_POOL=0 restores the
 dense reference-shaped graph for capacity-comparable numbers.
+
+r5 default: YOLO runs the streaming int8 path (activations stay int8 codes
+in HBM between convs, models/yolo_int8_stream.py) — hardware A/B won
++10.6% end-to-end at mAP parity (docs/yolo_stream_ab_r5.json).
+BENCH_YOLO_INT8_STREAM=0 reverts to the v1 bf16-round-trip path.
 """
 
 import functools
@@ -192,7 +197,7 @@ def main() -> None:
 
     yolo_apply = None
     yolo_int8_on = os.environ.get("BENCH_YOLO_INT8", "1") == "1"
-    yolo_stream_on = os.environ.get("BENCH_YOLO_INT8_STREAM", "0") == "1"
+    yolo_stream_on = os.environ.get("BENCH_YOLO_INT8_STREAM", "1") == "1"
     if yolo_stream_on:
         # v2: int8-RESIDENT activations (models/yolo_int8_stream.py) —
         # per-tensor scales folded into the weights; codes stay int8 in

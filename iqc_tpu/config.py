@@ -214,8 +214,10 @@ class EdgeConfig:
     # under yolo_int8: keep activations int8-resident in HBM end-to-end
     # (models/yolo_int8_stream.py — per-tensor scales folded into weights;
     # the v1 path re-quantizes per conv input through bf16 round-trips).
-    # Env override for hardware A/B: IQC_YOLO_INT8_STREAM=1|0.
-    yolo_int8_stream: bool = False
+    # Hardware A/B won r5: YOLO stage 15.31 -> 9.68 ms at batch 128, pooled
+    # pipeline 132,355 -> 146,448 img/min, mAP parity within 0.002
+    # (docs/yolo_stream_ab_r5.json). Env override IQC_YOLO_INT8_STREAM=1|0.
+    yolo_int8_stream: bool = True
     max_batch_size: int = 8
     compilation_cache_dir: str = ".xla_cache"
     # magnitude pruning at export (reference optimization.pruning block,
