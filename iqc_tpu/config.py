@@ -286,11 +286,11 @@ class AlertThresholds:
 class AlertsConfig:
     """Reference ``config.yaml:76-97`` — an alerts block the reference
     declares but never implements (no notification code exists in its
-    tree). Webhook AND email delivery are implemented for real here
-    (``iqc_tpu/serving/alerts.py``: JSON POST webhooks + stdlib smtplib
+    tree). Webhook, email AND SMS delivery are implemented for real here
+    (``iqc_tpu/serving/alerts.py``: JSON POST webhooks; stdlib smtplib
     against the declared ``email`` block — smtp_server/smtp_port/username/
-    recipients, config.yaml:89-95); SMS stays declared-only surface like
-    the reference."""
+    recipients, config.yaml:89-95; HTTP SMS-gateway delivery for the
+    declared ``sms_notifications`` switch, config.yaml:78)."""
 
     email_notifications: bool = False
     sms_notifications: bool = False
@@ -304,6 +304,13 @@ class AlertsConfig:
     # SMTP settings (reference config.yaml:89-95); consumed by
     # serving/alerts.send_email_smtp when email_notifications is on
     email: Dict[str, Any] = field(default_factory=dict)
+    # SMS gateway settings (the reference declares only the
+    # sms_notifications switch, config.yaml:78, and ships no transport;
+    # industrial SMS goes through an HTTP gateway — Twilio-style POST):
+    #   gateway_url: POST endpoint; api_key -> Authorization: Bearer;
+    #   from: sender id; recipients: [E.164 numbers]. Consumed by
+    #   serving/alerts.send_sms_http when sms_notifications is on.
+    sms: Dict[str, Any] = field(default_factory=dict)
 
     def urls(self) -> Tuple[str, ...]:
         out = tuple(self.webhook_urls)
@@ -327,6 +334,13 @@ class AlertsConfig:
                 int(self.email.get("smtp_port", 587))
             except (TypeError, ValueError):
                 raise ValueError("alerts.email.smtp_port must be an integer")
+        if self.sms_notifications:
+            if not self.sms.get("gateway_url"):
+                raise ValueError(
+                    "sms_notifications requires alerts.sms.gateway_url")
+            if not self.sms.get("recipients"):
+                raise ValueError(
+                    "sms_notifications requires alerts.sms.recipients")
 
 
 @dataclass
@@ -431,6 +445,46 @@ class MeshConfig:
 
 
 @dataclass
+class ScalingConfig:
+    """Reference ``production.scaling`` block (config.yaml:221-228) —
+    declared there (auto_scale/min_instances/max_instances/cpu_threshold/
+    memory_threshold) with zero scaling code anywhere in the tree.
+
+    Implemented for real here at the process level: the declared knobs
+    drive ``serving/scaling.AutoScaler``, which samples host CPU/memory
+    utilization from /proc and resizes the serving queue's worker pool
+    between min_instances and max_instances (the reference's "instances"
+    are gunicorn workers; ours are queue-draining workers that overlap
+    host-side decode/post work while device programs serialize — see
+    serving/app.QualityControlSystem.set_worker_count). Cluster-level
+    instance scaling stays a deployment concern (Dockerfile/healthcheck
+    are the hooks), as it is in the reference."""
+
+    auto_scale: bool = False
+    min_instances: int = 1
+    max_instances: int = 4
+    cpu_threshold: float = 80.0     # percent; scale UP above this
+    memory_threshold: float = 85.0  # percent; scale UP above this
+    # extensions (the declared block has no cadence/hysteresis knobs):
+    interval_seconds: float = 10.0  # sampling period
+    # scale DOWN only after this many consecutive samples below half the
+    # thresholds — avoids flapping around the boundary
+    scale_down_samples: int = 3
+
+    def validate(self) -> None:
+        if self.min_instances < 1:
+            raise ValueError("scaling.min_instances must be >= 1")
+        if self.max_instances < self.min_instances:
+            raise ValueError(
+                "scaling.max_instances must be >= min_instances")
+        if not (0 < self.cpu_threshold <= 100
+                and 0 < self.memory_threshold <= 100):
+            raise ValueError("scaling thresholds must be in (0, 100]")
+        if self.interval_seconds <= 0 or self.scale_down_samples < 1:
+            raise ValueError("scaling cadence knobs must be positive")
+
+
+@dataclass
 class SystemConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     processing: ProcessingConfig = field(default_factory=ProcessingConfig)
@@ -442,6 +496,7 @@ class SystemConfig:
     alerts: AlertsConfig = field(default_factory=AlertsConfig)
     storage: StorageConfig = field(default_factory=StorageConfig)
     qc_specific: QCSpecificConfig = field(default_factory=QCSpecificConfig)
+    scaling: ScalingConfig = field(default_factory=ScalingConfig)
     # Uninterpreted passthrough for declared-but-unread reference keys
     # (alerts/email, storage, integrations, security, ...).
     extra: Dict[str, Any] = field(default_factory=dict)
@@ -454,6 +509,7 @@ class SystemConfig:
         self.alerts.validate()
         self.storage.validate()
         self.qc_specific.validate()
+        self.scaling.validate()
         return self
 
     # ---- dict round-tripping -------------------------------------------------
@@ -555,6 +611,13 @@ class SystemConfig:
         if alert_thr_raw:
             alerts.thresholds = _build(AlertThresholds, alert_thr_raw)
 
+        # Reference nests scaling at production.scaling (config.yaml:221-228);
+        # our to_dict round-trip emits a top-level "scaling" key. Overlay the
+        # reference-style block on top so an update() patch touching
+        # production.scaling wins over the round-tripped state.
+        scaling_raw = dict(raw.pop("scaling", None) or {})
+        scaling_raw.update((raw.get("production") or {}).get("scaling") or {})
+
         cfg = cls(
             model=model,
             processing=processing,
@@ -566,6 +629,7 @@ class SystemConfig:
             alerts=alerts,
             storage=_build(StorageConfig, storage_raw),
             qc_specific=_build(QCSpecificConfig, qc_spec_raw),
+            scaling=_build(ScalingConfig, scaling_raw),
             extra=raw,
         )
         return cfg.validate()

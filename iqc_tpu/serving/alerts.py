@@ -10,16 +10,20 @@ Here the declared surface is implemented:
 - :func:`threshold_alerts` evaluates the reference's ``alerts.thresholds``
   rules (critical_defects / major_defects / low_confidence per image,
   high_defect_rate over the SPC window) against a prediction result.
-- :class:`AlertDispatcher` delivers alerts to configured webhook URLs and,
-  when ``email_notifications`` is on, over SMTP (stdlib ``smtplib``,
+- :class:`AlertDispatcher` delivers alerts to configured webhook URLs,
+  over SMTP when ``email_notifications`` is on (stdlib ``smtplib``,
   reference ``alerts.email`` block: smtp_server/smtp_port/username/
-  recipients — config.yaml:89-95) from a background thread (bounded
-  retries, timeout), with a per-rule cooldown shared across transports so
-  a stuck production line cannot flood the sinks. SMS remains
-  declared-only, matching the reference's actual behavior.
+  recipients — config.yaml:89-95), and to an HTTP SMS gateway when
+  ``sms_notifications`` is on (the reference declares only the switch,
+  config.yaml:78; industrial SMS rides an HTTP gateway — the transport
+  POSTs Twilio-shaped JSON per recipient, ``alerts.sms``:
+  gateway_url/api_key/from/recipients) — all from a background thread
+  (bounded retries, timeout), with a per-rule cooldown shared across
+  transports so a stuck production line cannot flood the sinks.
 
-Counters (submitted/suppressed/sent/failed/email_sent/email_failed)
-surface on the Prometheus exporter (``serving/metrics.py``).
+Counters (submitted/suppressed/sent/failed/email_sent/email_failed/
+sms_sent/sms_failed) surface on the Prometheus exporter
+(``serving/metrics.py``).
 """
 
 from __future__ import annotations
@@ -71,6 +75,35 @@ def send_email_smtp(settings: Dict, subject: str, body: str,
 def email_settings_ok(settings: Dict) -> bool:
     """True when the email block names a server and at least one recipient."""
     return bool(settings and settings.get("smtp_server")
+                and settings.get("recipients"))
+
+
+def send_sms_http(settings: Dict, message: str, timeout: float,
+                  post: Optional[Sender] = None) -> None:
+    """Default SMS transport: one JSON POST per recipient to the configured
+    HTTP gateway (``alerts.sms.gateway_url``). Body shape follows the
+    common gateway convention (Twilio-compatible keys): ``{"from": ...,
+    "to": ..., "body": ...}``; ``api_key`` is sent as a Bearer token.
+    Raises on the FIRST failed recipient so the dispatcher's retry loop
+    re-sends the alert (gateways dedup on content + recipient).
+    """
+    url = str(settings["gateway_url"])
+    sender = post or _default_sender
+    headers = {"Content-Type": "application/json"}
+    if settings.get("api_key"):
+        headers["Authorization"] = f"Bearer {settings['api_key']}"
+    src = str(settings.get("from") or "IQC-TPU")
+    for to in settings.get("recipients") or ():
+        body = json.dumps({"from": src, "to": str(to),
+                           "body": message}).encode()
+        status = sender(url, body, headers, timeout)
+        if not 200 <= status < 300:
+            raise RuntimeError(f"sms gateway returned {status} for {to}")
+
+
+def sms_settings_ok(settings: Dict) -> bool:
+    """True when the sms block names a gateway and at least one recipient."""
+    return bool(settings and settings.get("gateway_url")
                 and settings.get("recipients"))
 
 
@@ -147,17 +180,20 @@ class AlertDispatcher:
     def __init__(self, config: AlertsConfig, sender: Optional[Sender] = None,
                  clock: Callable[[], float] = time.monotonic,
                  max_queue: int = 256,
-                 email_sender: Optional[EmailSender] = None):
+                 email_sender: Optional[EmailSender] = None,
+                 sms_post: Optional[Sender] = None):
         self.config = config
         self._sender = sender or _default_sender
         self._email_sender = email_sender or send_email_smtp
+        self._sms_post = sms_post  # None -> alerts._default_sender
         self._clock = clock
         self._queue: queue.Queue = queue.Queue(max_queue)
         self._last_sent: Dict[str, float] = {}
         self._lock = threading.Lock()
         self.stats = {"submitted": 0, "suppressed": 0, "sent": 0,
                       "failed": 0, "dropped": 0,
-                      "email_sent": 0, "email_failed": 0}
+                      "email_sent": 0, "email_failed": 0,
+                      "sms_sent": 0, "sms_failed": 0}
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
 
@@ -171,8 +207,13 @@ class AlertDispatcher:
                     and email_settings_ok(self.config.email))
 
     @property
+    def sms_enabled(self) -> bool:
+        return bool(getattr(self.config, "sms_notifications", False)
+                    and sms_settings_ok(getattr(self.config, "sms", None)))
+
+    @property
     def enabled(self) -> bool:
-        return self.webhooks_enabled or self.email_enabled
+        return self.webhooks_enabled or self.email_enabled or self.sms_enabled
 
     # -- intake -----------------------------------------------------------------
 
@@ -247,6 +288,8 @@ class AlertDispatcher:
                     self.stats["sent" if ok else "failed"] += 1
         if self.email_enabled:
             self._deliver_email(alert)
+        if self.sms_enabled:
+            self._deliver_sms(alert)
 
     def _deliver_email(self, alert: Dict) -> None:
         """SMTP delivery of one alert (reference alerts.email block)."""
@@ -268,6 +311,26 @@ class AlertDispatcher:
                                e, attempt + 1)
         with self._lock:
             self.stats["email_sent" if ok else "email_failed"] += 1
+
+    def _deliver_sms(self, alert: Dict) -> None:
+        """HTTP-gateway SMS delivery of one alert — SMS bodies stay short
+        (one segment is 160 GSM-7 chars): severity, rule, message only."""
+        severity = str(alert.get("severity", "info")).upper()
+        rule = alert.get("rule", alert.get("metric", "alert"))
+        message = f"[IQC {severity}] {rule}: {alert.get('message', '')}"[:160]
+        ok = False
+        for attempt in range(self.config.retries + 1):
+            try:
+                send_sms_http(dict(self.config.sms), message,
+                              self.config.timeout_seconds,
+                              post=self._sms_post)
+                ok = True
+                break
+            except Exception as e:  # gateway errors must never propagate
+                logger.warning("sms alert failed: %s (attempt %d)",
+                               e, attempt + 1)
+        with self._lock:
+            self.stats["sms_sent" if ok else "sms_failed"] += 1
 
     # -- lifecycle ---------------------------------------------------------------
 

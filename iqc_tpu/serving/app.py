@@ -152,8 +152,15 @@ class QualityControlSystem:
         self.integrations = IntegrationForwarder(
             (self.config.extra or {}).get("integrations")
         )
-        self._worker: Optional[threading.Thread] = None
+        self._workers: List[threading.Thread] = []
+        self._worker_target = 0
+        self._workers_lock = threading.Lock()
+        self._pump: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        # process-level autoscaling over the worker pool (reference
+        # production.scaling block, config.yaml:221-228 — declared there,
+        # implemented in iqc_tpu/serving/scaling.py)
+        self.autoscaler = None
 
     # -- init (app.py:83-104) --------------------------------------------------
 
@@ -269,7 +276,7 @@ class QualityControlSystem:
     # when libiqc_runtime builds, Python condvar fallback otherwise) ----------
 
     def start_processing_worker(self) -> None:
-        if self._worker is not None:
+        if self._workers:
             return
         self._stop.clear()
         from iqc_tpu.runtime import BatchQueue
@@ -293,39 +300,78 @@ class QualityControlSystem:
                     self._pending[rid] = item
                 self._native_queue.push(rid)
 
-        def loop():
-            max_batch = self.config.processing.batch_size
-            while not self._stop.is_set():
-                ids = self._native_queue.pop_batch(max_batch, timeout_ms=250.0)
-                if not ids:
-                    continue
-                with self._pending_lock:
-                    batch = [self._pending.pop(i) for i in ids]
-                try:
-                    results = self.predict_batch([b["image"] for b in batch])
-                    for req, res in zip(batch, results):
-                        res["request_id"] = req.get("request_id")
-                        self.results_queue.put(res)
-                except Exception as e:
-                    for req in batch:
-                        self.results_queue.put(
-                            {"error": str(e), "request_id": req.get("request_id")}
-                        )
-
         self._pump = threading.Thread(target=pump, daemon=True, name="qc-pump")
-        self._worker = threading.Thread(target=loop, daemon=True, name="qc-worker")
         self._pump.start()
-        self._worker.start()
+        self.set_worker_count(max(1, self.config.scaling.min_instances
+                                  if self.config.scaling.auto_scale else 1))
+        if self.config.scaling.auto_scale:
+            from iqc_tpu.serving.scaling import AutoScaler
+
+            self.autoscaler = AutoScaler(self.config.scaling,
+                                         resize=self.set_worker_count,
+                                         initial_instances=self.worker_count)
+            self.autoscaler.start()
+
+    def _worker_loop(self, idx: int) -> None:
+        """One queue-draining worker. Several may run at once (the native
+        queue's pop_batch is MPMC): while one worker's batch occupies the
+        device program, the others overlap host-side decode/JSON/alert
+        work. The worker retires itself when the pool shrinks below its
+        index (set_worker_count)."""
+        max_batch = self.config.processing.batch_size
+        while not self._stop.is_set() and idx < self._worker_target:
+            ids = self._native_queue.pop_batch(max_batch, timeout_ms=250.0)
+            if not ids:
+                continue
+            with self._pending_lock:
+                batch = [self._pending.pop(i) for i in ids]
+            try:
+                results = self.predict_batch([b["image"] for b in batch])
+                for req, res in zip(batch, results):
+                    res["request_id"] = req.get("request_id")
+                    self.results_queue.put(res)
+            except Exception as e:
+                for req in batch:
+                    self.results_queue.put(
+                        {"error": str(e), "request_id": req.get("request_id")}
+                    )
+
+    @property
+    def worker_count(self) -> int:
+        with self._workers_lock:
+            return sum(1 for t in self._workers if t.is_alive())
+
+    def set_worker_count(self, n: int) -> int:
+        """Resize the worker pool to ``n`` (the autoscaler's resize hook;
+        also callable directly). Growing spawns threads immediately;
+        shrinking retires the highest-index workers at their next queue
+        poll (<= 250 ms). Returns the new target size."""
+        n = max(1, int(n))
+        with self._workers_lock:
+            self._worker_target = n
+            self._workers = [t for t in self._workers if t.is_alive()]
+            for idx in range(len(self._workers), n):
+                t = threading.Thread(target=self._worker_loop, args=(idx,),
+                                     daemon=True, name=f"qc-worker-{idx}")
+                self._workers.append(t)
+                t.start()
+        return n
 
     def stop_processing_worker(self) -> None:
         self._stop.set()
+        if self.autoscaler is not None:
+            self.autoscaler.close()
+            self.autoscaler = None
         if getattr(self, "_native_queue", None) is not None:
             self._native_queue.close()
-        for attr in ("_worker", "_pump"):
-            t = getattr(self, attr, None)
-            if t is not None:
-                t.join(timeout=2.0)
-                setattr(self, attr, None)
+        with self._workers_lock:
+            workers, self._workers = self._workers, []
+            self._worker_target = 0
+        for t in workers:
+            t.join(timeout=2.0)
+        if self._pump is not None:
+            self._pump.join(timeout=2.0)
+            self._pump = None
 
     def update_config(self, patch: Dict) -> None:
         self.config = self.config.update(patch)

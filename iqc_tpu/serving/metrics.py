@@ -38,6 +38,23 @@ def render_metrics(system) -> str:
            round(stats.get("throughput_images_per_second", 0.0), 3))
     metric("iqc_queue_depth", "gauge", "Processing queue depth",
            system.processing_queue.qsize())
+    metric("iqc_worker_instances", "gauge",
+           "Queue-draining worker pool size (production.scaling)",
+           getattr(system, "worker_count", 0))
+    scaler = getattr(system, "autoscaler", None)
+    if scaler is not None:
+        metric("iqc_host_cpu_percent", "gauge",
+               "Host CPU utilization (autoscaler sample)",
+               scaler.stats.get("cpu_percent", 0.0))
+        metric("iqc_host_memory_percent", "gauge",
+               "Host memory utilization (autoscaler sample)",
+               scaler.stats.get("memory_percent", 0.0))
+        for key, help_text in (
+            ("scale_ups", "Worker pool scale-up events"),
+            ("scale_downs", "Worker pool scale-down events"),
+        ):
+            metric(f"iqc_autoscaler_{key}_total", "counter", help_text,
+                   int(scaler.stats.get(key, 0)))
 
     fwd = getattr(system, "integrations", None)
     if fwd is not None and fwd.enabled:
@@ -60,6 +77,8 @@ def render_metrics(system) -> str:
             ("dropped", "Alerts dropped by a full dispatch queue"),
             ("email_sent", "Alerts delivered over SMTP"),
             ("email_failed", "Alerts that exhausted SMTP retries"),
+            ("sms_sent", "Alerts delivered to the SMS gateway"),
+            ("sms_failed", "Alerts that exhausted SMS-gateway retries"),
         ):
             metric(f"iqc_alerts_{key}_total", "counter", help_text,
                    dispatcher.stats.get(key, 0))

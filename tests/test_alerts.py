@@ -421,3 +421,134 @@ def test_dispatcher_both_transports_fire():
     assert mails == ["[IQC MAJOR] defect_rate"]
     assert d.stats["sent"] == 1 and d.stats["email_sent"] == 1
     d.close()
+
+
+# -- SMS transport (r5: the reference declares only the sms_notifications
+# switch, config.yaml:78, with no transport anywhere; implemented as an
+# HTTP SMS gateway — serving/alerts.send_sms_http) -----------------------------
+
+
+def test_sms_settings_ok():
+    from iqc_tpu.serving.alerts import sms_settings_ok
+
+    assert not sms_settings_ok({})
+    assert not sms_settings_ok({"gateway_url": "http://gw/send"})
+    assert not sms_settings_ok({"recipients": ["+15550100"]})
+    assert sms_settings_ok({"gateway_url": "http://gw/send",
+                            "recipients": ["+15550100"]})
+
+
+def test_send_sms_http_posts_per_recipient_with_bearer():
+    from iqc_tpu.serving.alerts import send_sms_http
+
+    posts = []
+
+    def fake_post(url, body, headers, timeout):
+        posts.append((url, json.loads(body), dict(headers)))
+        return 200
+
+    send_sms_http(
+        {"gateway_url": "http://gw/send", "api_key": "k123",
+         "from": "QC-LINE-1", "recipients": ["+15550100", "+15550101"]},
+        "[IQC CRITICAL] critical_defects: 2 found", 3.0, post=fake_post)
+    assert [p[1]["to"] for p in posts] == ["+15550100", "+15550101"]
+    assert all(p[0] == "http://gw/send" for p in posts)
+    assert all(p[1]["from"] == "QC-LINE-1" for p in posts)
+    assert all(p[2]["Authorization"] == "Bearer k123" for p in posts)
+    assert posts[0][1]["body"].startswith("[IQC CRITICAL]")
+
+
+def test_send_sms_http_raises_on_gateway_error():
+    from iqc_tpu.serving.alerts import send_sms_http
+
+    with pytest.raises(RuntimeError):
+        send_sms_http({"gateway_url": "http://gw/send",
+                       "recipients": ["+15550100"]},
+                      "msg", 3.0, post=lambda u, b, h, t: 503)
+
+
+def test_dispatcher_sms_delivery_counters_and_truncation():
+    texts = []
+    cfg = AlertsConfig(
+        sms_notifications=True,
+        sms={"gateway_url": "http://gw/send", "recipients": ["+15550100"]},
+        cooldown_seconds=0.0,
+    )
+    d = AlertDispatcher(
+        cfg, sms_post=lambda u, b, h, t: texts.append(json.loads(b)) or 200)
+    assert d.sms_enabled and d.enabled and not d.webhooks_enabled
+    long_msg = "x" * 400
+    d.submit({"type": "threshold", "rule": "critical_defects",
+              "severity": "critical", "message": long_msg})
+    d.flush()
+    assert d.stats["sms_sent"] == 1 and d.stats["sms_failed"] == 0
+    body = texts[0]["body"]
+    assert body.startswith("[IQC CRITICAL] critical_defects:")
+    assert len(body) <= 160  # one GSM-7 segment
+
+
+def test_dispatcher_sms_retries_then_counts_failure():
+    calls = []
+    cfg = AlertsConfig(
+        sms_notifications=True, retries=2,
+        sms={"gateway_url": "http://gw/send", "recipients": ["+15550100"]},
+        cooldown_seconds=0.0,
+    )
+    d = AlertDispatcher(cfg,
+                        sms_post=lambda u, b, h, t: calls.append(u) or 500)
+    d.submit({"type": "spc", "metric": "defect_rate", "message": "ooc"})
+    d.flush()
+    assert len(calls) == 3  # initial + 2 retries
+    assert d.stats["sms_failed"] == 1 and d.stats["sms_sent"] == 0
+    d.close()
+
+
+def test_sms_real_http_delivery_to_local_sink():
+    """send_sms_http speaks real HTTP end to end against a local gateway."""
+    received = []
+
+    class Gateway(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            received.append((self.headers.get("Authorization"),
+                             json.loads(self.rfile.read(n))))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Gateway)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = AlertsConfig(
+            sms_notifications=True,
+            sms={"gateway_url": f"http://127.0.0.1:{srv.server_port}/send",
+                 "api_key": "secret", "recipients": ["+15550100"]},
+            cooldown_seconds=0.0,
+        )
+        d = AlertDispatcher(cfg)
+        d.submit({"type": "threshold", "rule": "major_defects",
+                  "severity": "major", "message": "3 major defect(s)"})
+        assert d.flush()
+        deadline = time.monotonic() + 3
+        while not received and time.monotonic() < deadline:
+            time.sleep(0.01)
+        auth, body = received[0]
+        assert auth == "Bearer secret"
+        assert body["to"] == "+15550100"
+        assert "[IQC MAJOR] major_defects" in body["body"]
+        d.close()
+    finally:
+        srv.shutdown()
+
+
+def test_sms_config_validation():
+    with pytest.raises(ValueError):
+        AlertsConfig(sms_notifications=True).validate()
+    with pytest.raises(ValueError):
+        AlertsConfig(sms_notifications=True,
+                     sms={"gateway_url": "http://gw"}).validate()
+    AlertsConfig(sms_notifications=True,
+                 sms={"gateway_url": "http://gw",
+                      "recipients": ["+1555"]}).validate()
