@@ -86,13 +86,23 @@ def main() -> None:
         http_ms.append((time.perf_counter() - t0) * 1e3)
     server.shutdown()
 
+    def pct(xs, q):
+        xs = sorted(xs)
+        return round(xs[min(int(len(xs) * q / 100), len(xs) - 1)], 2)
+
     med_total = statistics.median(total_ms)
     med_http = statistics.median(http_ms)
     out = {
         "decode_ms": round(statistics.median(decode_ms), 2),
         "stage_times_ms": stages,
         "predict_total_ms": round(med_total, 2),
+        "predict_percentiles_ms": {"p50": pct(total_ms, 50),
+                                   "p95": pct(total_ms, 95),
+                                   "p99": pct(total_ms, 99)},
         "http_total_ms": round(med_http, 2),
+        "http_percentiles_ms": {"p50": pct(http_ms, 50),
+                                "p95": pct(http_ms, 95),
+                                "p99": pct(http_ms, 99)},
         "http_overhead_ms": round(med_http - med_total - statistics.median(decode_ms), 2),
         "iters": iters,
         "note": "predict_total = preprocess dispatch + fused device program "

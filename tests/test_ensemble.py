@@ -484,3 +484,23 @@ def test_seg_pool_config_validation():
     assert cfg.model.max_segmented_pool == 64
     with pytest.raises(ValueError):
         SystemConfig.from_dict({"model": {"max_segmented_pool": -1}})
+
+
+def test_crop_pool_auto_disables_when_pool_covers_capacity(pool_setup):
+    """The documented single-image rule (README/RESULTS: "pools
+    auto-disable when pool >= BxK"): a pool at least as large as the
+    batch's capacity slots takes the dense code path, so EVERY output —
+    valid or padding, mock rule included — is bit-identical to pools-off.
+    This is what makes B=1 serving latency immune to the pool default."""
+    make, run = pool_setup
+    kc, b = 4, 2
+    t = 0.004  # low threshold: plenty of valid slots
+    out_d = run(make(0), t)
+    # serving default shape: pool (128) far above capacity (b*kc = 8)
+    out_p = run(make(128), t)
+    for name in ("valid", "boxes", "yolo_scores", "crop_class", "crop_conf",
+                 "crop_severity", "crop_classified", "final_severity",
+                 "ensemble_conf", "severity_counts"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_d, name)),
+            np.asarray(getattr(out_p, name)), err_msg=name)
