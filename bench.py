@@ -191,9 +191,18 @@ def main() -> None:
         cal = jax.random.normal(rng, (16, ci, ci, 3), jnp.float32)
         scales = resnet_int8.calibrate_activation_scales(q, [cal])
         resnet_vars = {"q": jax.device_put(q), "scales": jax.device_put(scales)}
-        resnet_apply = lambda v, xx: resnet_int8.apply(
-            v["q"], xx, act_scales=v["scales"]
-        )
+        if os.environ.get("BENCH_RESNET_INT8_STREAM", "0") == "1":
+            # v2: int8-resident activations between convs (same tree+scales,
+            # models/resnet_int8_stream.py) — hardware A/B knob
+            from iqc_tpu.models import resnet_int8_stream
+
+            resnet_apply = lambda v, xx: resnet_int8_stream.apply(
+                v["q"], xx, v["scales"]
+            )
+        else:
+            resnet_apply = lambda v, xx: resnet_int8.apply(
+                v["q"], xx, act_scales=v["scales"]
+            )
 
     yolo_apply = None
     yolo_int8_on = os.environ.get("BENCH_YOLO_INT8", "1") == "1"

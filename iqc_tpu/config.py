@@ -218,6 +218,12 @@ class EdgeConfig:
     # pipeline 132,355 -> 146,448 img/min, mAP parity within 0.002
     # (docs/yolo_stream_ab_r5.json). Env override IQC_YOLO_INT8_STREAM=1|0.
     yolo_int8_stream: bool = True
+    # same streaming rewrite for the crop classifier — activations stay
+    # int8 codes in HBM between convs (models/resnet_int8_stream.py; same
+    # quantized tree + scales as v1, different walk). The pooled-crop
+    # ResNet stage dominates the r5 serving batch (20.6 ms of 58.6,
+    # docs/profile_pooled_r5.json). Env override IQC_RESNET_INT8_STREAM=1|0.
+    resnet_int8_stream: bool = False
     max_batch_size: int = 8
     compilation_cache_dir: str = ".xla_cache"
     # magnitude pruning at export (reference optimization.pruning block,

@@ -529,6 +529,8 @@ class EnsemblePredictor:
             )
             self.pruning_report = {"yolo": yolo_pr, "resnet": resnet_pr}
         if cfg.edge.precision == "int8":
+            import os as _os
+
             from iqc_tpu.models import resnet_int8
             from iqc_tpu.models.optimizer import XLAOptimizer
 
@@ -539,8 +541,6 @@ class EnsemblePredictor:
                 # activations halve its bytes; mAP parity measured on the
                 # shipped checkpoint (0.7609 int8 vs 0.7548 bf16 mAP50-95,
                 # val128 TPU eval)
-                import os as _os
-
                 yolo_fp_bytes = _tree_bytes(self.yolo_vars)
                 reg_max = self.yolo.reg_max
                 n_cls = len(self.class_names)
@@ -607,13 +607,29 @@ class EnsemblePredictor:
                 q, self._calibration_batches(ci), stage_sizes
             )
             self.resnet_vars = {"q": q, "scales": scales}
-            self._resnet_apply = lambda v, xx: resnet_int8.apply(
-                v["q"], xx, stage_sizes=stage_sizes, act_scales=v["scales"]
-            )
+            r_stream = getattr(cfg.edge, "resnet_int8_stream", False)
+            r_env = _os.environ.get("IQC_RESNET_INT8_STREAM")
+            if r_env is not None:
+                r_stream = r_env not in ("0", "false", "")
+            if r_stream:
+                # v2: int8-RESIDENT activations between convs — same tree +
+                # scales as v1, different walk (models/resnet_int8_stream.py)
+                from iqc_tpu.models import resnet_int8_stream
+
+                self._resnet_apply = lambda v, xx: resnet_int8_stream.apply(
+                    v["q"], xx, v["scales"], stage_sizes=stage_sizes
+                )
+                resnet_mode = ("true-int8 MXU, int8-resident activations "
+                               "(streaming v2)")
+            else:
+                self._resnet_apply = lambda v, xx: resnet_int8.apply(
+                    v["q"], xx, stage_sizes=stage_sizes, act_scales=v["scales"]
+                )
+                resnet_mode = "true-int8 MXU (static calibrated activations)"
             q_bytes = resnet_int8.tree_size_bytes(q)
             self.precision_report = {
                 "precision": "int8",
-                "resnet": "true-int8 MXU (static calibrated activations)",
+                "resnet": resnet_mode,
                 "yolo": yolo_mode,
                 "resnet_size_reduction_percent": round(100.0 * (1 - q_bytes / max(fp_bytes, 1)), 1),
                 "yolo_size_reduction_percent": round(yolo_report["size_reduction_percent"], 1),

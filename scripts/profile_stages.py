@@ -97,8 +97,15 @@ def main() -> None:
         cal = jax.random.normal(rng, (16, ci, ci, 3), jnp.float32)
         scales = resnet_int8.calibrate_activation_scales(q, [cal])
         resnet_vars = {"q": jax.device_put(q), "scales": jax.device_put(scales)}
-        resnet_apply = lambda v, xx: resnet_int8.apply(
-            v["q"], xx, act_scales=v["scales"])
+        if os.environ.get("RESNET_INT8_STREAM", "0") == "1":
+            # v2 int8-resident classifier (models/resnet_int8_stream.py)
+            from iqc_tpu.models import resnet_int8_stream
+
+            resnet_apply = lambda v, xx: resnet_int8_stream.apply(
+                v["q"], xx, v["scales"])
+        else:
+            resnet_apply = lambda v, xx: resnet_int8.apply(
+                v["q"], xx, act_scales=v["scales"])
 
     yolo_apply = None
     ycal = jax.random.uniform(rng, (4, 640, 640, 3), jnp.float32)
