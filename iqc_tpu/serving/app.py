@@ -348,6 +348,10 @@ class QualityControlSystem:
         poll (<= 250 ms). Returns the new target size."""
         n = max(1, int(n))
         with self._workers_lock:
+            if self._stop.is_set():
+                # a late autoscaler tick after stop_processing_worker must
+                # not respawn workers against the closed queue
+                return 0
             self._worker_target = n
             self._workers = [t for t in self._workers if t.is_alive()]
             for idx in range(len(self._workers), n):
