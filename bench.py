@@ -36,6 +36,12 @@ r5 default: YOLO runs the streaming int8 path (activations stay int8 codes
 in HBM between convs, models/yolo_int8_stream.py) — hardware A/B won
 +10.6% end-to-end at mAP parity (docs/yolo_stream_ab_r5.json).
 BENCH_YOLO_INT8_STREAM=0 reverts to the v1 bf16-round-trip path.
+
+The crop classifier runs the same streaming rewrite
+(models/resnet_int8_stream.py) — hardware A/B won +4.5% end-to-end
+(146,448 -> 153,008 img/min) with val accuracy identical to fp32
+(docs/resnet_stream_ab_r5.json). BENCH_RESNET_INT8_STREAM=0 reverts to
+the v1 static-calibrated path.
 """
 
 import functools
@@ -183,6 +189,7 @@ def main() -> None:
 
     precision = os.environ.get("BENCH_PRECISION", "int8")
     resnet_apply = None
+    resnet_stream_on = False
     if precision == "int8":
         # TRUE int8 MXU path for the crop classifier (models/resnet_int8.py)
         from iqc_tpu.models import resnet_int8
@@ -191,7 +198,8 @@ def main() -> None:
         cal = jax.random.normal(rng, (16, ci, ci, 3), jnp.float32)
         scales = resnet_int8.calibrate_activation_scales(q, [cal])
         resnet_vars = {"q": jax.device_put(q), "scales": jax.device_put(scales)}
-        if os.environ.get("BENCH_RESNET_INT8_STREAM", "0") == "1":
+        resnet_stream_on = os.environ.get("BENCH_RESNET_INT8_STREAM", "1") == "1"
+        if resnet_stream_on:
             # v2: int8-resident activations between convs (same tree+scales,
             # models/resnet_int8_stream.py) — hardware A/B knob
             from iqc_tpu.models import resnet_int8_stream
@@ -339,6 +347,7 @@ def main() -> None:
         "classifier_input": ci,
         "yolo_int8": yolo_int8_on or yolo_stream_on,
         "yolo_int8_stream": yolo_stream_on,
+        "resnet_int8_stream": resnet_stream_on,
         "segmentation_included": full,
     }
     if m.max_classified_pool:

@@ -221,9 +221,13 @@ class EdgeConfig:
     # same streaming rewrite for the crop classifier — activations stay
     # int8 codes in HBM between convs (models/resnet_int8_stream.py; same
     # quantized tree + scales as v1, different walk). The pooled-crop
-    # ResNet stage dominates the r5 serving batch (20.6 ms of 58.6,
-    # docs/profile_pooled_r5.json). Env override IQC_RESNET_INT8_STREAM=1|0.
-    resnet_int8_stream: bool = False
+    # ResNet stage dominated the r5 serving batch (20.6 ms of 58.6,
+    # docs/profile_pooled_r5.json). Hardware A/B won r5: crop_pool stage
+    # 20.6 -> 17.96 ms at batch 128, pooled pipeline 146,448 -> 153,008
+    # img/min (+4.5%), val accuracy identical to fp32 (0.9922, agreement
+    # 1.0 — docs/resnet_stream_ab_r5.json). Env override
+    # IQC_RESNET_INT8_STREAM=1|0.
+    resnet_int8_stream: bool = True
     max_batch_size: int = 8
     compilation_cache_dir: str = ".xla_cache"
     # magnitude pruning at export (reference optimization.pruning block,
