@@ -139,6 +139,10 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
                     if isinstance(v, (int, float))},
             "per_class_ap50": [round(float(v), 4)
                                for v in final.get("per_class_ap50", [])],
+            # AP at each IoU 0.50..0.95 — is a mAP50-95 gap a high-IoU
+            # (localization sharpness) tail or uniform?
+            "per_thresh_ap": [round(float(v), 4)
+                              for v in final.get("per_thresh_ap", [])],
             "epochs": 0, "n_train": len(train_ds), "n_val": len(val_ds),
             "reused_checkpoint": out,
         }
@@ -154,6 +158,8 @@ def train_detection(cat_dir: str, img_size: int, epochs: int, seed: int,
         # which class drags the mean (mask-derived-label diagnosis)
         "per_class_ap50": [round(float(v), 4)
                            for v in final.get("per_class_ap50", [])],
+        "per_thresh_ap": [round(float(v), 4)
+                          for v in final.get("per_thresh_ap", [])],
         "epochs": report["epochs_trained"],
         "n_train": len(train_ds), "n_val": len(val_ds),
     }
